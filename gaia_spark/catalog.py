@@ -1,0 +1,178 @@
+"""Checkpoint catalog: replace-by-run_id tables, per-partition lineage,
+stage-hash resume (north_rule: "resumable from checkpoint with
+per-partition lineage + metrics").
+
+The reference's resume model is "success = output file exists"
+(/root/reference/README.md:114) with full re-runs otherwise; ours
+(SURVEY.md §2.5) replaces that with content-addressed stages:
+
+- every stage write lands in ``<root>/<table>/data_<run_id>/`` and a
+  ``_CURRENT`` pointer is swapped atomically (os.replace) — a killed
+  run never corrupts the readable table, re-running never
+  double-appends (idempotent replace-by-run_id).
+- a manifest records the stage_hash = sha1(stage name, input hashes,
+  config, code version); ``has()`` lets the pipeline SKIP stages whose
+  inputs didn't change (kill → re-run resumes after the last completed
+  stage).
+- lineage rows are per OUTPUT partition: (stage, run_id, part_id,
+  url_min, url_max, out_rows, ts) — the url range + counts demanded by
+  the north_star, computed with one groupBy(spark_partition_id()).
+
+On a real cluster this module is the seam where Iceberg slots in
+(``df.writeTo(tbl).createOrReplace()`` gives the same atomic-replace +
+snapshot semantics natively); no Iceberg runtime ships in this sandbox,
+so the semantics are emulated over plain parquet directories.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CODE_VERSION = "1"
+
+
+def stage_hash(stage: str, *inputs: str, config: str = "") -> str:
+    h = hashlib.sha1()
+    for part in (stage, CODE_VERSION, config, *inputs):
+        h.update(part.encode("utf-8"))
+        h.update(b"\x00")
+    return h.hexdigest()
+
+
+def input_fingerprint(path: str) -> str:
+    """Cheap content fingerprint of an external input file/dir."""
+    h = hashlib.sha1()
+    if os.path.isdir(path):
+        names = sorted(
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(path) for f in fs
+        )
+    else:
+        names = [path]
+    for n in names:
+        st = os.stat(n)
+        h.update(f"{n}|{st.st_size}|{int(st.st_mtime)}".encode())
+    return h.hexdigest()
+
+
+class Catalog:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- paths ------------------------------------------------------------
+    def _tdir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _pointer(self, name: str) -> str:
+        return os.path.join(self._tdir(name), "_CURRENT")
+
+    def current_manifest(self, name: str) -> dict | None:
+        ptr = self._pointer(name)
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as f:
+            run_id = f.read().strip()
+        mpath = os.path.join(self._tdir(name), f"data_{run_id}",
+                             "_MANIFEST.json")
+        if not os.path.exists(mpath):
+            return None
+        with open(mpath) as f:
+            return json.load(f)
+
+    def has(self, name: str, shash: str) -> bool:
+        m = self.current_manifest(name)
+        return bool(m and m.get("stage_hash") == shash)
+
+    def data_path(self, name: str) -> str:
+        m = self.current_manifest(name)
+        if m is None:
+            raise FileNotFoundError(f"no current data for table {name}")
+        return os.path.join(self._tdir(name), f"data_{m['run_id']}")
+
+    # -- IO ---------------------------------------------------------------
+    def write(
+        self,
+        df: DataFrame,
+        name: str,
+        shash: str,
+        run_id: str,
+        partition_by: list[str] | None = None,
+        lineage_key: str = "url",
+    ) -> dict:
+        """Atomic replace-by-run_id write + per-partition lineage rows."""
+        tdir = self._tdir(name)
+        os.makedirs(tdir, exist_ok=True)
+        final = os.path.join(tdir, f"data_{run_id}")
+        tmp = os.path.join(tdir, f"_tmp_{run_id}")
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(tmp)
+
+        spark = df.sparkSession
+        out = spark.read.parquet(tmp)
+        key = lineage_key if lineage_key in out.columns else None
+        agg = [F.count(F.lit(1)).alias("out_rows")]
+        if key:
+            agg += [F.min(key).alias("key_min"), F.max(key).alias("key_max")]
+        else:
+            agg += [F.lit(None).cast("string").alias("key_min"),
+                    F.lit(None).cast("string").alias("key_max")]
+        lineage_rows = [
+            {"stage": name, "run_id": run_id, "part_id": r["part_id"],
+             "key_min": r["key_min"], "key_max": r["key_max"],
+             "out_rows": r["out_rows"]}
+            for r in out.groupBy(
+                F.spark_partition_id().alias("part_id")).agg(*agg).collect()
+        ]
+        total = sum(r["out_rows"] for r in lineage_rows)
+        manifest = {
+            "table": name, "run_id": run_id, "stage_hash": shash,
+            "rows": total, "n_partitions": len(lineage_rows),
+            "created": dt.datetime.now(dt.timezone.utc).isoformat(),
+            "lineage": lineage_rows,
+        }
+        with open(os.path.join(tmp, "_MANIFEST.json"), "w") as f:
+            json.dump(manifest, f)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.replace(tmp, final)
+        ptr_tmp = self._pointer(name) + f".{run_id}"
+        with open(ptr_tmp, "w") as f:
+            f.write(run_id)
+        os.replace(ptr_tmp, self._pointer(name))
+        # drop superseded data dirs (keep current only)
+        for d in os.listdir(tdir):
+            if d.startswith("data_") and d != f"data_{run_id}":
+                shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
+        return manifest
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        return spark.read.parquet(self.data_path(name))
+
+    def lineage(self, spark: SparkSession) -> DataFrame:
+        """All current tables' per-partition lineage as one DataFrame."""
+        rows = []
+        for name in sorted(os.listdir(self.root)):
+            m = self.current_manifest(name)
+            if m:
+                for r in m["lineage"]:
+                    rows.append((m["table"], m["run_id"], m["stage_hash"],
+                                 r["part_id"], r["key_min"], r["key_max"],
+                                 r["out_rows"], m["created"]))
+        return spark.createDataFrame(
+            rows,
+            schema="stage string, run_id string, stage_hash string, "
+                   "part_id int, key_min string, key_max string, "
+                   "out_rows long, created string",
+        )

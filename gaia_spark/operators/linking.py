@@ -1,0 +1,180 @@
+"""T4 — entity linking (broadcast alias join) + NIL clustering (LSH).
+
+Reference: "Collective Entity Linking and NIL Clustering" (GAIA diagram;
+stage script edl.sh, /root/reference/.gitignore:203), background KB at
+/root/reference/README.md:128.  north_star shape: "cross-document entity
+linking via MinHash/LSH candidate blocking plus a broadcast alias/KB
+dictionary … AQE-aware broadcast-vs-sort-merge join on candidate keys".
+
+Phase a (KB link): the (alias_norm, coarse) → best-entity dictionary is
+pre-disambiguated with one small groupBy (max over (popularity,
+entity_id) structs — the oracle's exact tie-break) and then hinted
+``F.broadcast`` into the mention join; AQE would pick broadcast anyway
+at this size, the hint makes the plan deterministic.
+
+Phase b (NIL): unlinked mentions reduce to DISTINCT (coarse, link_norm)
+keys first — the clustering problem is over surfaces, not mention
+occurrences, so a 10^12-row corpus still clusters over only the distinct
+surface vocabulary.  Blocking keys (MinHash/LSH bands + exact tokens,
+shared kernel gaia_ref/minhashing.py) → posexploded self-join →
+containment verification → connected components → stable NIL ids.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from gaia_ref.minhashing import (
+    CONTAINMENT_THRESHOLD,
+    blocking_keys,
+    char_shingles,
+    shingle_containment,
+)
+from gaia_spark.operators.graph import connected_components
+
+# Blocks larger than this are dropped from pair generation: at corpus
+# scale a stop-token block ("bank", "group") would otherwise go
+# quadratic.  Test corpora stay far below the cap, so oracle parity
+# is exact there; at 10^12 scale this is the documented approximation.
+MAX_BLOCK_SIZE = 256
+
+
+def alias_dictionary(kb_entities: DataFrame, kb_aliases: DataFrame) -> DataFrame:
+    """(alias_norm, coarse) → entity_id, pre-disambiguated.
+
+    max(struct(popularity, entity_id)) reproduces the oracle's pinned
+    tie-break (gaia_ref/oracle.py link_mention).
+    """
+    return (
+        kb_aliases.join(kb_entities, "entity_id")
+        .groupBy("alias_norm", F.col("entity_type").alias("alias_coarse"))
+        .agg(
+            F.max(F.struct("popularity", "entity_id"))["entity_id"]
+            .alias("entity_id")
+        )
+    )
+
+
+def link_mentions(
+    resolved: DataFrame, kb_entities: DataFrame, kb_aliases: DataFrame
+) -> DataFrame:
+    """resolved mentions + nullable entity_id via the broadcast dict."""
+    best = alias_dictionary(kb_entities, kb_aliases)
+    return resolved.join(
+        F.broadcast(best),
+        on=[
+            resolved.link_norm == best.alias_norm,
+            resolved.coarse == best.alias_coarse,
+        ],
+        how="left",
+    ).drop("alias_norm", "alias_coarse")
+
+
+_BLOCK_SCHEMA = StructType([
+    StructField("coarse", StringType(), False),
+    StructField("link_norm", StringType(), False),
+    StructField("block_key", LongType(), False),
+])
+
+
+def _blocking_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        rows = []
+        for coarse, norm in zip(pdf["coarse"], pdf["link_norm"]):
+            for bk in blocking_keys(norm):
+                rows.append((coarse, norm, bk))
+        yield pd.DataFrame(rows, columns=["coarse", "link_norm", "block_key"])
+
+
+@pandas_udf(DoubleType())
+def _containment_udf(n1: pd.Series, n2: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            shingle_containment(char_shingles(a), char_shingles(b))
+            for a, b in zip(n1, n2)
+        ],
+        index=n1.index,
+    )
+
+
+def nil_clusters(linked: DataFrame) -> DataFrame:
+    """unlinked mentions → (coarse, link_norm, nil_id) cluster map."""
+    keys = (
+        linked.filter(F.col("entity_id").isNull())
+        .select("coarse", "link_norm")
+        .distinct()
+    )
+    blocks = keys.mapInPandas(_blocking_batches, schema=_BLOCK_SCHEMA)
+    # cap pathological blocks before the quadratic self-join
+    block_sizes = blocks.groupBy("coarse", "block_key").count()
+    blocks = (
+        blocks.join(
+            block_sizes.filter(F.col("count") <= MAX_BLOCK_SIZE),
+            ["coarse", "block_key"],
+        ).drop("count")
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.coarse") == F.col("b.coarse"),
+                F.col("a.block_key") == F.col("b.block_key"),
+                F.col("a.link_norm") < F.col("b.link_norm"),
+            ],
+        )
+        .select(
+            F.col("a.coarse").alias("coarse"),
+            F.col("a.link_norm").alias("n1"),
+            F.col("b.link_norm").alias("n2"),
+        )
+        .distinct()
+    )
+    verified = pairs.filter(
+        _containment_udf("n1", "n2") >= CONTAINMENT_THRESHOLD
+    )
+    node = lambda c, n: F.concat_ws("\x1f", c, n)  # noqa: E731
+    edges = verified.select(
+        node(F.col("coarse"), F.col("n1")).alias("src"),
+        node(F.col("coarse"), F.col("n2")).alias("dst"),
+    )
+    all_nodes = keys.select(
+        node(F.col("coarse"), F.col("link_norm")).alias("node"))
+    comps = connected_components(edges, nodes=all_nodes)
+    members = keys.withColumn(
+        "node", node(F.col("coarse"), F.col("link_norm"))
+    ).join(comps, "node")
+    reps = members.groupBy("component").agg(
+        F.min("link_norm").alias("rep"))
+    return (
+        members.join(reps, "component")
+        .select(
+            "coarse",
+            "link_norm",
+            F.concat(
+                F.lit("NIL:"),
+                F.substring(F.sha1(F.encode(F.col("rep"), "utf-8")), 1, 12),
+            ).alias("nil_id"),
+        )
+    )
+
+
+def canonicalize_mentions(linked: DataFrame, nil_ids: DataFrame) -> DataFrame:
+    """Attach the canonical id: KB entity_id, else NIL cluster id."""
+    return (
+        linked.join(nil_ids, ["coarse", "link_norm"], "left")
+        .withColumn("canonical", F.coalesce("entity_id", "nil_id"))
+        .drop("nil_id")
+    )

@@ -1,0 +1,170 @@
+"""End-to-end KG-construction plan: T1→T13 over the checkpoint catalog.
+
+The reference's orchestration is a shell script running Docker stages
+with file handoff (`pipeline_sample_full.sh`,
+/root/reference/README.md:53-55); here each stage is a pure
+DataFrame→DataFrame operator, materialized to a catalog table with a
+stage hash, so a killed run resumes after its last completed stage and
+re-runs are idempotent replace-by-run_id writes (SURVEY.md §2.5/§3.1).
+
+Stage boundaries (each = one checkpoint table, per-partition lineage):
+  pages_text   T1   (partitioned by lang → language filters prune)
+  tagged       T2/T3/T7
+  resolved     T5
+  linked       T4a
+  nil_ids      T4b (LSH + connected components)
+  assertions   T6 + T8/T9
+  triples      T11 + T13 (canonical, cleaned; partitioned by lang)
+  nodes/edges  graph materialization (T11 dedup surface)
+
+Within a stage Catalyst pipelines the narrow ops; across stages the
+materialization is deliberate — resumability over pipelining
+(SURVEY.md §4.1 "stage = full materialization" row).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gaia_spark.catalog import Catalog, input_fingerprint, stage_hash
+from gaia_spark.functions.skew import salted_repartition
+from gaia_spark.operators.canonicalize import (
+    canonical_map,
+    canonical_triples,
+    graph_edges,
+    graph_nodes,
+)
+from gaia_spark.operators.cleankb import clean_kb
+from gaia_spark.operators.coref import resolve_nominals
+from gaia_spark.operators.events import extract_events
+from gaia_spark.operators.extract import extract_pages
+from gaia_spark.operators.linking import (
+    canonicalize_mentions,
+    link_mentions,
+    nil_clusters,
+)
+from gaia_spark.operators.mentions import (
+    gaps_df,
+    mentions_df,
+    tag_pages,
+    triggers_df,
+)
+from gaia_spark.operators.relations import extract_relations
+
+
+def run_pipeline(
+    spark: SparkSession,
+    corpus_dir: str,
+    out_dir: str,
+    run_id: str | None = None,
+    resume: bool = True,
+    suppress_validation: bool = False,
+    salt_buckets: int = 16,
+) -> dict:
+    """Run (or resume) the full pipeline; returns {stage: manifest}."""
+    run_id = run_id or uuid.uuid4().hex[:12]
+    cat = Catalog(out_dir)
+    results: dict[str, dict] = {}
+    conf = f"suppress_validation={suppress_validation}"
+
+    pages_path = os.path.join(corpus_dir, "pages.parquet")
+    kb_e_path = os.path.join(corpus_dir, "kb_entities.parquet")
+    kb_a_path = os.path.join(corpus_dir, "kb_aliases.parquet")
+    corpus_fp = input_fingerprint(pages_path)
+    kb_fp = input_fingerprint(kb_e_path) + input_fingerprint(kb_a_path)
+
+    def step(name: str, shash: str, build, partition_by=None) -> str:
+        if resume and cat.has(name, shash):
+            results[name] = cat.current_manifest(name)
+            results[name]["skipped"] = True
+            return shash
+        df: DataFrame = build()
+        results[name] = cat.write(
+            df, name, shash, run_id, partition_by=partition_by)
+        results[name]["skipped"] = False
+        return shash
+
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    # T1 — extract text; url-salted balance, lang partitions for pruning
+    h_text = stage_hash("pages_text", corpus_fp)
+    step(
+        "pages_text", h_text,
+        lambda: salted_repartition(
+            extract_pages(spark.read.parquet(pages_path)),
+            "url", nparts, salt_buckets),
+        partition_by=["lang"],
+    )
+
+    # T2/T3/T7 — tag (mentions+triggers+gaps arrays, one text scan)
+    h_tag = stage_hash("tagged", h_text)
+    step("tagged", h_tag,
+         lambda: tag_pages(cat.read(spark, "pages_text")))
+
+    # T5 — nominal coref (per-doc grouped map), adds link_norm
+    h_res = stage_hash("resolved", h_tag)
+    step("resolved", h_res,
+         lambda: resolve_nominals(mentions_df(cat.read(spark, "tagged"))))
+
+    # T4a — broadcast alias link
+    h_link = stage_hash("linked", h_res, kb_fp)
+    step(
+        "linked", h_link,
+        lambda: link_mentions(
+            cat.read(spark, "resolved"),
+            spark.read.parquet(kb_e_path),
+            spark.read.parquet(kb_a_path)),
+    )
+
+    # T4b — NIL clustering over distinct unlinked surfaces
+    h_nil = stage_hash("nil_ids", h_link)
+    step("nil_ids", h_nil,
+         lambda: nil_clusters(cat.read(spark, "linked")),
+         )
+
+    # T6 + T8/T9 — assertions (relations ∪ events), mention-referenced
+    h_asrt = stage_hash("assertions", h_res, h_tag)
+    def _assertions():
+        tagged = cat.read(spark, "tagged")
+        resolved = cat.read(spark, "resolved")
+        rels = extract_relations(spark, resolved, gaps_df(tagged))
+        evts = extract_events(triggers_df(tagged), resolved)
+        return rels.unionByName(evts)
+    step("assertions", h_asrt, _assertions)
+
+    # T11 + T13 — canonical triples, cleaned, lang re-attached
+    h_tri = stage_hash("triples", h_asrt, h_nil, h_link, config=conf)
+    def _triples():
+        canon = canonicalize_mentions(
+            cat.read(spark, "linked"), cat.read(spark, "nil_ids"))
+        cmap = canonical_map(canon)
+        triples = canonical_triples(cat.read(spark, "assertions"), cmap)
+        triples = clean_kb(
+            triples, spark.read.parquet(pages_path),
+            suppress_validation=suppress_validation)
+        lang_map = cat.read(spark, "pages_text").select("url", "lang")
+        return triples.join(lang_map, "url")
+    step("triples", h_tri, _triples, partition_by=["lang"])
+
+    # graph materialization — canonical node/edge tables (Multimedia-KB
+    # cylinder analog, diagram): deduplicated graph surface
+    h_nodes = stage_hash("nodes", h_nil, h_link)
+    step(
+        "nodes", h_nodes,
+        lambda: graph_nodes(
+            canonicalize_mentions(
+                cat.read(spark, "linked"), cat.read(spark, "nil_ids"))),
+    )
+    h_edges = stage_hash("edges", h_tri)
+    step("edges", h_edges,
+         lambda: graph_edges(cat.read(spark, "triples")))
+
+    return results
+
+
+def read_triples(spark: SparkSession, out_dir: str) -> DataFrame:
+    return Catalog(out_dir).read(spark, "triples")

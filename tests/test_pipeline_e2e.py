@@ -1,0 +1,100 @@
+"""Golden end-to-end: Spark pipeline vs single-node oracle.
+
+SURVEY.md §5.2.1: (a) byte-identical extracted text per url
+(BASELINE.json:15 hard invariant), (b) triple P/R ≥ 0.95 on the
+held-out split (BASELINE.json:14), plus resume-idempotency and
+partitioning-invariance property tests (§5.2.4).
+"""
+
+import pytest
+
+from gaia_ref.oracle import is_heldout
+from gaia_spark.catalog import Catalog
+from gaia_spark.plans.pipeline import run_pipeline, read_triples
+
+TRIPLE_KEY = ["url", "sent_id", "subj", "pred", "obj",
+              "subj_type", "obj_type", "conf"]
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(spark, corpus_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("kg_out"))
+    results = run_pipeline(spark, corpus_dir, out, run_id="t1")
+    return out, results
+
+
+def _triple_set(df):
+    return {tuple(r) for r in df.select(*TRIPLE_KEY).collect()}
+
+
+def _oracle_set(oracle_result):
+    return {
+        (t["url"], t["sent_id"], t["subj"], t["pred"], t["obj"],
+         t["subj_type"], t["obj_type"], t["conf"])
+        for t in oracle_result["triples"]
+    }
+
+
+def test_byte_identical_text(spark, pipeline_out, oracle_result):
+    out, _ = pipeline_out
+    got = {
+        r.url: r.text
+        for r in Catalog(out).read(spark, "pages_text").collect()
+    }
+    assert set(got) == set(oracle_result["texts"])
+    mismatches = [u for u, t in got.items()
+                  if t != oracle_result["texts"][u]]
+    assert mismatches == []
+
+
+def test_triples_pr_heldout(spark, pipeline_out, oracle_result):
+    out, _ = pipeline_out
+    spark_t = {t for t in _triple_set(read_triples(spark, out).drop("lang"))
+               if is_heldout(t[0])}
+    oracle_t = {t for t in _oracle_set(oracle_result) if is_heldout(t[0])}
+    tp = len(spark_t & oracle_t)
+    precision = tp / max(len(spark_t), 1)
+    recall = tp / max(len(oracle_t), 1)
+    assert precision >= 0.95, f"P={precision}"
+    assert recall >= 0.95, f"R={recall}"
+
+
+def test_triples_pr_full(spark, pipeline_out, oracle_result):
+    out, _ = pipeline_out
+    spark_t = _triple_set(read_triples(spark, out).drop("lang"))
+    oracle_t = _oracle_set(oracle_result)
+    tp = len(spark_t & oracle_t)
+    assert tp / max(len(spark_t), 1) >= 0.95
+    assert tp / max(len(oracle_t), 1) >= 0.95
+
+
+def test_resume_skips_everything(spark, corpus_dir, pipeline_out):
+    out, first = pipeline_out
+    assert all(not m["skipped"] for m in first.values())
+    again = run_pipeline(spark, corpus_dir, out, run_id="t2")
+    assert all(m["skipped"] for m in again.values())
+    # pointer still names the first run's data (no rewrite happened)
+    assert Catalog(out).current_manifest("triples")["run_id"] == "t1"
+
+
+def test_lineage_rows_cover_all_stages(spark, pipeline_out):
+    out, results = pipeline_out
+    lin = Catalog(out).lineage(spark)
+    stages = {r.stage for r in lin.select("stage").distinct().collect()}
+    assert stages == set(results.keys())
+    tri = lin.filter(lin.stage == "triples").collect()
+    assert sum(r.out_rows for r in tri) == results["triples"]["rows"]
+    assert all(r.key_min is not None for r in tri if r.out_rows > 0)
+
+
+def test_partitioning_invariance(spark, corpus_dir, tmp_path, oracle_result):
+    """Same triples regardless of shuffle partitioning (SURVEY §5.2.4)."""
+    out = str(tmp_path / "kg_out_p7")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        run_pipeline(spark, corpus_dir, out, run_id="p5", salt_buckets=3)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert _triple_set(read_triples(spark, out).drop("lang")) == _oracle_set(
+        oracle_result)
