@@ -1,0 +1,304 @@
+"""Deduplication operators for web-scale corpora.
+
+Five families, all shuffle-conscious:
+
+- **exact**: md5 fingerprint → groupBy → keeper = min(doc_id).  One
+  shuffle on a 32-byte key; at 100 TB the fingerprint groupBy is the
+  canonical map-side-combine aggregation.
+- **n-gram Jaccard (exact)**: distinct-token-set similarity via an
+  inverted-index self-join (token → doc postings).  Quadratic in
+  posting-list length, so it is the *verification* kernel, not the
+  blocking strategy.
+- **MinHash + LSH**: k=128 seeded xxhash64 min-hashes → b bands of r
+  rows → band-hash blocking join → exact-Jaccard verification of
+  candidates only.  The scale path: shuffle volume is O(docs × b)
+  instead of O(docs²).  With b=32, r=4 the probability of missing a
+  pair at Jaccard 0.85 is 1-(1-(1-0.85^4))^32 ≈ 6e-11, so
+  LSH + exact-verify equals the exhaustive answer in practice — which
+  is why the DuckDB oracle for it can be the exhaustive join.
+- **SimHash**: 64-bit sign-aggregated token hashes; near-dup =
+  Hamming distance ≤ t, blocked by 4×16-bit bands (any pair within
+  Hamming ≤ 3 shares at least one exact band by pigeonhole).
+- **embedding cosine**: see similarity.py (shared kernel).
+
+MinHash/LSH internals follow SURVEY.md §2.6 ("MinHash/LSH blocking"):
+all built-in functions (xxhash64/transform/array_min/posexplode), zero
+Python UDFs, zero driver-side loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gaia_spark.functions.text_analysis import SCALE, fingerprint_col, sql_fingerprint
+
+# LSH geometry: NUM_PERM = BANDS * ROWS_PER_BAND
+NUM_PERM = 128
+BANDS = 32
+ROWS_PER_BAND = 4
+MINHASH_SEED = 0x5EED_CAFE
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup_map(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """→ (doc_id, fingerprint, keeper): keeper = min id per fingerprint.
+
+    Map-side combine on the md5 key makes this one full shuffle of
+    (fingerprint, min_id) partials, not of the documents themselves.
+    """
+    fp = df.select(
+        F.col(id_col).alias("doc_id"),
+        fingerprint_col(F.col(text_col)).alias("fingerprint"),
+    )
+    keep = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("keeper"))
+    return fp.join(keep, "fingerprint").select("doc_id", "fingerprint",
+                                               "keeper")
+
+
+def sql_exact_dedup_map(rel: str, text_col: str = "text",
+                        id_col: str = "doc_id") -> str:
+    fp = sql_fingerprint(text_col)
+    return f"""
+WITH fp AS (
+  SELECT {id_col} AS doc_id, {fp} AS fingerprint FROM {rel}
+), keep AS (
+  SELECT fingerprint, min(doc_id) AS keeper FROM fp GROUP BY fingerprint
+)
+SELECT fp.doc_id, fp.fingerprint, keep.keeper
+FROM fp JOIN keep USING (fingerprint)
+"""
+
+
+# ---------------------------------------------------------------------------
+# token sets + exact Jaccard (verification kernel and small-scale oracle)
+# ---------------------------------------------------------------------------
+
+def token_set(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """→ (doc_id, tok) distinct token postings (lowercased words)."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.array_distinct(
+                    F.split(F.lower(F.col(text_col)), r"\s+"))
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+
+
+def jaccard_pairs(postings: DataFrame, min_x10k: int) -> DataFrame:
+    """Exact token-set Jaccard over an inverted-index self-join.
+
+    → (a_id, b_id, jac_x10k) for pairs with floor(1e4·J) ≥ min_x10k.
+    Integerized with floor so the value hashes identically cross-engine.
+    """
+    sizes = postings.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = postings.alias("a")
+    b = postings.alias("b")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("sz").alias("szb"))
+    return (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn(
+            "jac_x10k",
+            F.floor(
+                F.lit(SCALE) * F.col("inter").cast("double")
+                / (F.col("sza") + F.col("szb") - F.col("inter"))
+            ),
+        )
+        .filter(F.col("jac_x10k") >= min_x10k)
+        .select("a_id", "b_id", "jac_x10k")
+    )
+
+
+def sql_jaccard_pairs(rel: str, min_x10k: int, text_col: str = "text",
+                      id_col: str = "doc_id", where: str = "TRUE") -> str:
+    return f"""
+WITH postings AS (
+  SELECT DISTINCT {id_col} AS doc_id, tok
+  FROM (
+    SELECT {id_col}, unnest(string_split_regex(lower({text_col}), '\\s+'))
+           AS tok
+    FROM {rel} WHERE {where}
+  ) WHERE tok <> ''
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM postings GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+  FROM postings a JOIN postings b USING (tok)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+       floor({SCALE} * inter::DOUBLE / (sa.sz + sb.sz - inter))::BIGINT
+         AS jac_x10k
+FROM inter
+JOIN sizes sa ON sa.doc_id = a_id
+JOIN sizes sb ON sb.doc_id = b_id
+WHERE floor({SCALE} * inter::DOUBLE / (sa.sz + sb.sz - inter))
+      >= {min_x10k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(postings: DataFrame,
+                      num_perm: int = NUM_PERM) -> DataFrame:
+    """→ (doc_id, sig ARRAY<BIGINT>[num_perm]).
+
+    One aggregation: per permutation i, min over tokens of
+    xxhash64(tok, seed_i).  Map-side combine keeps the shuffle at
+    num_perm longs per doc.
+    """
+    mins = [
+        F.min(F.xxhash64(F.col("tok"), F.lit(MINHASH_SEED + i)))
+        .alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    agg = postings.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id",
+        F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig"),
+    )
+
+
+def lsh_candidates(sig: DataFrame, bands: int = BANDS,
+                   rows_per_band: int = ROWS_PER_BAND) -> DataFrame:
+    """Band the signatures and self-join on (band_id, band_hash).
+
+    → distinct (a_id, b_id) candidate pairs.  Shuffle key is the band
+    hash: uniform by construction, so no skew handling needed here.
+    """
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.hash(
+                    F.slice(
+                        F.col("sig"),
+                        b * rows_per_band + 1,
+                        rows_per_band,
+                    ),
+                ),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+        )
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(df: DataFrame, min_x10k: int,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """LSH-blocked near-dup pairs, exact-Jaccard verified.
+
+    Equals the exhaustive `jaccard_pairs` answer w.p. ≈ 1 - 6e-11 per
+    true pair at J≥0.85 (see module docstring) while shuffling
+    O(n·bands) instead of O(n²) — the 100 TB path.
+    """
+    postings = token_set(df, text_col, id_col)
+    cand = lsh_candidates(minhash_signature(postings))
+    # verify candidates only: semi-join postings down to candidate docs,
+    # then exact Jaccard on that restricted posting set
+    cand_docs = (
+        cand.select(F.col("a_id").alias("doc_id"))
+        .union(cand.select("b_id"))
+        .distinct()
+    )
+    restricted = postings.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    verified = jaccard_pairs(restricted, min_x10k)
+    return verified.join(cand, ["a_id", "b_id"],
+                         "left_semi").select("a_id", "b_id", "jac_x10k")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_col(postings: DataFrame) -> DataFrame:
+    """→ (doc_id, simhash BIGINT): 64-bit sign-aggregated token hash.
+
+    bit_j(simhash) = 1 iff sum over tokens of sign(bit_j(xxhash64(tok)))
+    is positive.  Pure built-ins: per-token hash once, per-bit sign via
+    shiftright/bitwise-and, one groupBy.
+    """
+    h = F.xxhash64(F.col("tok"), F.lit(MINHASH_SEED))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1,
+                   F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"b{j}")
+        for j in range(64)
+    ]
+    agg = postings.groupBy("doc_id").agg(*bit_sums)
+    acc = F.lit(0).cast("bigint")
+    for j in range(64):
+        acc = acc + F.when(F.col(f"b{j}") > 0,
+                           F.shiftleft(F.lit(1).cast("bigint"), j)
+                           ).otherwise(F.lit(0))
+    return agg.select("doc_id", acc.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs by SimHash Hamming ≤ max_hamming, banded blocking.
+
+    Pigeonhole: with 4 16-bit bands, Hamming ≤ 3 ⇒ ≥1 identical band,
+    so blocking on band equality has perfect recall for t ≤ 3.
+    → (a_id, b_id, hamming)
+    """
+    sims = simhash_col(token_set(df, text_col, id_col))
+    banded = sims.select(
+        "doc_id", "simhash",
+        F.posexplode(
+            F.array(*[
+                F.shiftright(F.col("simhash"), 16 * k)
+                .bitwiseAND(F.lit(0xFFFF))
+                for k in range(4)
+            ])
+        ).alias("band_id", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)

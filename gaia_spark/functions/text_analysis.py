@@ -1,0 +1,205 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Language-ID, quality scoring, token counting, and document
+fingerprinting — the per-document text stages a 100 TB corpus pipeline
+runs before/alongside KG extraction (GAIA's per-language routing,
+/root/reference/README.md:47-49, needs a lang decision per page; the
+reference receives `lang` from upstream, we also derive it).
+
+Every operator here is a PURE COLUMN EXPRESSION — no Python UDFs — so
+it runs JVM-side inside whole-stage codegen and scales linearly with
+executors.  Each Spark builder has a paired ``*_sql`` generator that
+renders the exact same semantics as ANSI SQL for the DuckDB oracle;
+both are driven by the same module-level constants so they cannot
+drift.
+
+Determinism-across-engines rules used throughout this repo:
+- derived ratios are integerized with floor(10000*a/b) — floor of an
+  identical double is identical under any rounding mode;
+- regexes use only syntax common to Java regex and RE2 (no lookbehind);
+- md5 is the cross-engine content hash (identical in Spark and DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared constants (single source of truth for Spark AND oracle SQL)
+# ---------------------------------------------------------------------------
+
+#: BPE-ish tokenizer: letter runs, digit runs, or single punctuation.
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: whitespace tokens (plain word count)
+WS_TOKEN_RE = r"\S+"
+
+PUNCT_RE = r"[.,;:!?]"
+
+#: English stopwords used by the quality heuristic.
+STOPWORDS_EN = (
+    "the", "and", "of", "to", "in", "a", "is", "that", "for", "with",
+    "as", "on", "at", "by", "it", "or", "be", "are", "was", "this",
+)
+
+#: marker words per language for the n-gram/marker language-ID
+#: heuristic.  Scoring = number of marker-word occurrences; argmax wins,
+#: ties broken by language code ascending (deterministic).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en": ("the", "and", "is", "of", "to", "that", "with", "for"),
+    "es": ("el", "los", "las", "es", "una", "por", "que", "para"),
+    "fr": ("le", "les", "est", "une", "dans", "pour", "qui", "pas"),
+}
+
+SCALE = 10000  # ratio integerization factor
+
+
+def _marker_re(lang: str) -> str:
+    return r"\b(?:" + "|".join(LANG_MARKERS[lang]) + r")\b"
+
+
+def _stop_re() -> str:
+    return r"\b(?:" + "|".join(STOPWORDS_EN) + r")\b"
+
+
+# ---------------------------------------------------------------------------
+# Spark builders
+# ---------------------------------------------------------------------------
+
+def token_count_col(text: Column) -> Column:
+    """BPE-ish token count (letter runs / digit runs / punct singles)."""
+    return F.regexp_count(text, F.lit(TOKEN_RE)).cast("bigint")
+
+
+def ws_token_count_col(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(WS_TOKEN_RE)).cast("bigint")
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Content fingerprint: md5 over whitespace-canonicalized lowercase
+    text — the exact-dedup key (stable across engines)."""
+    norm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    return F.md5(norm)
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add n_chars / n_tokens / n_ws_tokens / n_punct / n_stop columns."""
+    t = F.col(text_col)
+    low = F.lower(t)
+    return (
+        df.withColumn("n_chars", F.length(t).cast("bigint"))
+        .withColumn("n_tokens", token_count_col(t))
+        .withColumn("n_ws_tokens", ws_token_count_col(t))
+        .withColumn("n_punct",
+                    F.regexp_count(t, F.lit(PUNCT_RE)).cast("bigint"))
+        .withColumn("n_stop",
+                    F.regexp_count(low, F.lit(_stop_re())).cast("bigint"))
+    )
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality heuristics over the stats columns.
+
+    - ``stop_ratio_x10k``  = floor(1e4 * stopwords / ws_tokens)
+    - ``punct_ratio_x10k`` = floor(1e4 * punct / chars)
+    - ``mean_tok_len_x10k``= floor(1e4 * chars / ws_tokens)
+    - ``quality_ok``       = doc long enough, not punctuation-spam
+    """
+    out = with_text_stats(df, text_col)
+    ws = F.greatest(F.col("n_ws_tokens"), F.lit(1)).cast("double")
+    ch = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    return (
+        out.withColumn(
+            "stop_ratio_x10k",
+            F.floor(F.lit(SCALE) * F.col("n_stop").cast("double") / ws))
+        .withColumn(
+            "punct_ratio_x10k",
+            F.floor(F.lit(SCALE) * F.col("n_punct").cast("double") / ch))
+        .withColumn(
+            "mean_tok_len_x10k",
+            F.floor(F.lit(SCALE) * ch / ws))
+        .withColumn(
+            "quality_ok",
+            (F.col("n_ws_tokens") >= 10)
+            & (F.col("n_chars") >= 50)
+            & (F.col("punct_ratio_x10k") < 2000),
+        )
+    )
+
+
+def lang_id_col(text: Column) -> Column:
+    """Marker-word language ID; deterministic argmax (lang asc on tie).
+
+    A doc matching no marker at all is ``und`` (undetermined).
+    """
+    low = F.lower(text)
+    scores = {
+        lang: F.regexp_count(low, F.lit(_marker_re(lang)))
+        for lang in sorted(LANG_MARKERS)
+    }
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # build the when-chain in REVERSE sorted order so the first
+    # (ascending) language wins ties after chaining
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
+    return F.when(best == 0, F.lit("und")).otherwise(expr)
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL generators (same constants, DuckDB dialect)
+# ---------------------------------------------------------------------------
+
+def sql_token_count(col: str) -> str:
+    return f"len(regexp_extract_all({col}, '{TOKEN_RE}'))::BIGINT"
+
+
+def sql_ws_token_count(col: str) -> str:
+    return rf"len(regexp_extract_all({col}, '\S+'))::BIGINT"
+
+
+def sql_fingerprint(col: str) -> str:
+    return rf"md5(trim(regexp_replace(lower({col}), '\s+', ' ', 'g')))"
+
+
+def sql_stats_select(col: str = "text") -> str:
+    """SELECT-list fragment matching with_text_stats."""
+    stop = _stop_re()
+    return (
+        f"length({col})::BIGINT AS n_chars, "
+        f"{sql_token_count(col)} AS n_tokens, "
+        f"{sql_ws_token_count(col)} AS n_ws_tokens, "
+        f"len(regexp_extract_all({col}, '{PUNCT_RE}'))::BIGINT AS n_punct, "
+        f"len(regexp_extract_all(lower({col}), '{stop}'))::BIGINT AS n_stop"
+    )
+
+
+def sql_quality_select() -> str:
+    """SELECT-list fragment over the stats columns (2nd CTE level)."""
+    return (
+        f"floor({SCALE} * n_stop::DOUBLE / greatest(n_ws_tokens,1))::BIGINT"
+        " AS stop_ratio_x10k, "
+        f"floor({SCALE} * n_punct::DOUBLE / greatest(n_chars,1))::BIGINT"
+        " AS punct_ratio_x10k, "
+        f"floor({SCALE} * greatest(n_chars,1)::DOUBLE /"
+        " greatest(n_ws_tokens,1))::BIGINT AS mean_tok_len_x10k, "
+        "(n_ws_tokens >= 10 AND n_chars >= 50 AND "
+        f"floor({SCALE} * n_punct::DOUBLE / greatest(n_chars,1)) < 2000)"
+        " AS quality_ok"
+    )
+
+
+def sql_lang_id(col: str = "text") -> str:
+    """CASE expression mirroring lang_id_col (argmax, lang-asc ties)."""
+    langs = sorted(LANG_MARKERS)
+    score = {
+        lang: f"len(regexp_extract_all(lower({col}), '{_marker_re(lang)}'))"
+        for lang in langs
+    }
+    best = "greatest(" + ", ".join(score[lang] for lang in langs) + ")"
+    whens = " ".join(
+        f"WHEN {score[lang]} = {best} THEN '{lang}'" for lang in langs
+    )
+    return f"CASE WHEN {best} = 0 THEN 'und' {whens} ELSE 'und' END"

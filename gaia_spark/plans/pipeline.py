@@ -168,3 +168,31 @@ def run_pipeline(
 
 def read_triples(spark: SparkSession, out_dir: str) -> DataFrame:
     return Catalog(out_dir).read(spark, "triples")
+
+
+def build_triples_df(
+    spark: SparkSession,
+    pages: DataFrame,
+    kb_entities: DataFrame,
+    kb_aliases: DataFrame,
+    suppress_validation: bool = False,
+) -> DataFrame:
+    """The T1→T13 chain as ONE lazy DataFrame (no checkpoint catalog).
+
+    Same operators as run_pipeline, minus the materialization between
+    stages — for driver queries / benchmarks over in-memory corpora
+    where Catalyst may pipeline the whole plan.
+    """
+    pages_text = extract_pages(pages)
+    tagged = tag_pages(pages_text)
+    resolved = resolve_nominals(mentions_df(tagged))
+    linked = link_mentions(resolved, kb_entities, kb_aliases)
+    nil = nil_clusters(linked)
+    rels = extract_relations(spark, resolved, gaps_df(tagged))
+    evts = extract_events(triggers_df(tagged), resolved)
+    assertions = rels.unionByName(evts)
+    canon = canonicalize_mentions(linked, nil)
+    triples = canonical_triples(assertions, canonical_map(canon))
+    triples = clean_kb(triples, pages,
+                       suppress_validation=suppress_validation)
+    return triples.join(pages_text.select("url", "lang"), "url")
