@@ -1,0 +1,109 @@
+"""Benchmark harness — one JSON line on stdout.
+
+Headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS], plus the KG-construction pipeline over a
+deterministic synthetic corpus (docs/sec is the BASELINE.json metric).
+
+    {"metric": "...", "value": N, "unit": "sec",
+     "queries": {...}, "sf": ..., "kg_docs_per_sec": ...}
+
+The synthetic corpus is cached under .bench/ (gitignored) so repeated
+runs — and the local[8]-vs-local[32] scaling probe in
+tools/bench_scaling.py — time Spark, not the Python generator.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "2000"))
+
+
+def corpus_dir(n: int, seed: int = 42) -> str:
+    """Synthesize (once) and cache the pages corpus for the KG bench."""
+    out = os.path.join(REPO, ".bench", f"corpus_{n}_{seed}")
+    marker = os.path.join(out, "pages.parquet")
+    if not os.path.exists(marker):
+        from gaia_synth.corpus import write_corpus
+        write_corpus(out, n, seed)
+    return out
+
+
+def main() -> None:
+    from gaia_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    cdir = corpus_dir(KG_DOCS)
+    spark = get_spark("bench", cpus=CPUS,
+                      shuffle_partitions=max(CPUS, 16))
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> float:
+        t0 = time.perf_counter()
+        fn()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        return dt
+
+    # warm the JVM and the Python-worker pool (incl. the gaia_ref
+    # lexicon import) so the first timed query isn't charged for
+    # per-worker startup
+    spark.range(1000).selectExpr("sum(id)").collect()
+    from gaia_spark.operators.mentions import tag_flat
+    warm = spark.read.parquet(os.path.join(cdir, "pages.parquet")).limit(256)
+    tag_flat(warm.repartition(2 * CPUS)).count()
+
+    qs = entrymod.queries()
+    headline = [
+        "rel_pricing_summary",      # scan + hash agg
+        "rel_nation_volume",        # 5-way star join
+        "rel_top_revenue_orders",   # join + global top-k
+        "rel_self_join_pairs",      # blocked theta self-join
+        "rel_window_topk_per_group",  # window top-k
+        "text_quality",             # regex-heavy column kernel
+        "dedup_exact",              # md5 groupBy dedup
+        "dedup_minhash_lsh",        # minhash + LSH + verify
+        "ann_cosine_topk",          # brute-force ANN
+        "media_meta",               # binary plumbing
+    ]
+    for name in headline:
+        fn = qs[name]
+        timed(name, lambda f=fn: f(spark, SF_DIR).count())
+
+    # KG pipeline: full T1→T13 over the cached corpus, docs/sec
+    def run_kg():
+        from pyspark.sql import functions as F  # noqa: F401
+        from gaia_spark.plans.pipeline import build_triples_df
+        pages = spark.read.parquet(os.path.join(cdir, "pages.parquet"))
+        kb_e = spark.read.parquet(os.path.join(cdir, "kb_entities.parquet"))
+        kb_a = spark.read.parquet(os.path.join(cdir, "kb_aliases.parquet"))
+        n = build_triples_df(spark, pages, kb_e, kb_a).count()
+        assert n > 0
+
+    kg_secs = timed("kg_pipeline", run_kg)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "cpus": CPUS,
+        "kg_docs": KG_DOCS,
+        "kg_docs_per_sec": round(KG_DOCS / kg_secs, 2),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

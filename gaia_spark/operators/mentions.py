@@ -114,6 +114,204 @@ def tag_pages(pages_text: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# fused fast path: T1 (extract) + T2/T3/T7 (tag) + T5 (nominal coref)
+# in ONE Arrow pass — per-document stages have no cross-doc dependency,
+# so fusing them removes two Python↔JVM round-trips and the
+# 1-group-per-doc applyInPandas shuffle; the cross-doc stages (T4
+# linking, T4b NIL, T6/T8 joins, T11 canonicalization) stay relational.
+# ---------------------------------------------------------------------------
+
+_RMENTION = StructType([
+    StructField("sent_id", IntegerType(), False),
+    StructField("pos", IntegerType(), False),
+    StructField("begin", IntegerType(), False),
+    StructField("end", IntegerType(), False),
+    StructField("surface", StringType(), False),
+    StructField("coarse", StringType(), False),
+    StructField("fine", StringType(), False),
+    StructField("nominal", BooleanType(), False),
+    StructField("link_norm", StringType(), False),
+])
+
+TAGGED_RESOLVED_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("mentions", ArrayType(_RMENTION), False),
+    StructField("triggers", ArrayType(_TRIGGER), False),
+    StructField("gaps", ArrayType(_GAP), False),
+])
+
+
+def _tag_resolve_one(url: str, text: str) -> dict:
+    """Per-doc kernel: tag, then resolve nominals exactly like
+    gaia_ref.oracle.resolve_nominals / operators.coref._resolve_group
+    (nearest preceding named antecedent of same coarse type; unresolved
+    nominals dropped; resolved ones take antecedent fine + link_norm).
+
+    NOTE: `pos` is assigned BEFORE the nominal drop (tag-time
+    adjacency), matching the unfused tag_pages→resolve_nominals path.
+    """
+    from gaia_ref.extract import norm_surface
+
+    base = _tag_one(url, text)
+    last_named: dict[str, tuple[str, str]] = {}
+    resolved = []
+    # mention rows arrive sorted by (sent_id, begin) from _tag_one
+    for (sid, pos, b, e, surf, coarse, fine, nominal) in base["mentions"]:
+        if not nominal:
+            last_named[coarse] = (surf, fine)
+            resolved.append((sid, pos, b, e, surf, coarse, fine, False,
+                             norm_surface(surf)))
+        else:
+            ante = last_named.get(coarse)
+            if ante is not None:
+                resolved.append((sid, pos, b, e, surf, coarse, ante[1],
+                                 True, norm_surface(ante[0])))
+    base["mentions"] = resolved
+    return base
+
+
+def _tag_resolve_batches(
+    it: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    from gaia_ref.extract import extract_text
+
+    for pdf in it:
+        yield pd.DataFrame(
+            [
+                _tag_resolve_one(u, extract_text(h))
+                for u, h in zip(pdf["url"], pdf["html"])
+            ],
+            columns=["url", "mentions", "triggers", "gaps"],
+        )
+
+
+def tag_resolve_pages(pages: DataFrame) -> DataFrame:
+    """(url, html, …) → resolved-tagged rows; the fused T1+T2+T5 stage.
+
+    `mentions_df` over the result is the `resolved` table (with
+    link_norm); no further Python stage runs before the joins.
+    """
+    return pages.select("url", "html").mapInPandas(
+        _tag_resolve_batches, schema=TAGGED_RESOLVED_SCHEMA
+    )
+
+
+# flat variant: one row per mention/trigger/gap/assertion with a `kind`
+# discriminator.  Nested ARRAY<STRUCT> columns are 5-10× more expensive
+# to build on the pandas→Arrow boundary than flat nullable columns, and
+# the first thing every consumer does is explode them anyway — so the
+# hot path emits pre-exploded rows and consumers just filter on `kind`.
+#
+# Assertions ('a' rows) are T6/T8/T9 computed per-document inside the
+# same pass (the body is gaia_ref.oracle.extract_doc_assertions —
+# oracle-exact by construction): relation/event extraction needs only
+# the doc's own resolved mentions plus a static pattern table, so
+# running it where the document already lives avoids re-shuffling every
+# mention row through the (url, sent_id) joins.  The relational
+# formulations (operators/relations.py, operators/events.py) remain the
+# checkpointed run_pipeline path and the per-operator test surface.
+TAG_FLAT_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("kind", StringType(), False),   # 'm' | 't' | 'g' | 'a'
+    StructField("sent_id", IntegerType(), False),
+    StructField("pos", IntegerType(), True),
+    StructField("begin", IntegerType(), True),
+    StructField("end", IntegerType(), True),
+    StructField("surface", StringType(), True),
+    StructField("coarse", StringType(), True),
+    StructField("fine", StringType(), True),
+    StructField("nominal", BooleanType(), True),
+    StructField("link_norm", StringType(), True),
+    StructField("fine_event", StringType(), True),
+    StructField("left_types", ArrayType(StringType()), True),
+    StructField("right_types", ArrayType(StringType()), True),
+    StructField("conf", DoubleType(), True),
+    StructField("phrase", StringType(), True),
+    StructField("begins_with_comma", BooleanType(), True),
+    StructField("pred", StringType(), True),
+    StructField("obj_norm", StringType(), True),
+    StructField("obj_coarse", StringType(), True),
+    StructField("obj_fine", StringType(), True),
+])
+
+_FLAT_COLS = [f.name for f in TAG_FLAT_SCHEMA.fields]
+_PAD = (None, None, None, None)  # pred..obj_fine for non-assertion rows
+
+
+def _flat_rows(url: str, text: str) -> list[tuple]:
+    from gaia_ref.extract import norm_surface
+    from gaia_ref.oracle import extract_doc_assertions
+
+    d = _tag_resolve_one(url, text)
+    rows = []
+    for (sid, pos, b, e, surf, coarse, fine, nominal, ln) in d["mentions"]:
+        rows.append((url, "m", sid, pos, b, e, surf, coarse, fine,
+                     nominal, ln, None, None, None, None, None, None)
+                    + _PAD)
+    for (sid, b, e, fev, lt, rt, conf) in d["triggers"]:
+        rows.append((url, "t", sid, None, b, e, None, None, None, None,
+                     None, fev, lt, rt, conf, None, None) + _PAD)
+    for (sid, pos, phrase, bwc) in d["gaps"]:
+        rows.append((url, "g", sid, pos, None, None, None, None, None,
+                     None, None, None, None, None, None, phrase, bwc)
+                    + _PAD)
+    rels, evts = extract_doc_assertions(text)
+    for r in rels + evts:
+        a, b = r["subj_m"], r["obj_m"]
+        rows.append((url, "a", r["sent_id"], None, None, None, None,
+                     a.coarse, a.fine, None, norm_surface(a.surface),
+                     None, None, None, r["conf"], None, None,
+                     r["pred"], norm_surface(b.surface), b.coarse,
+                     b.fine))
+    return rows
+
+
+def _tag_flat_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from gaia_ref.extract import extract_text
+
+    for pdf in it:
+        rows: list[tuple] = []
+        for u, h in zip(pdf["url"], pdf["html"]):
+            rows.extend(_flat_rows(u, extract_text(h)))
+        yield pd.DataFrame(rows, columns=_FLAT_COLS)
+
+
+def tag_flat(pages: DataFrame) -> DataFrame:
+    """Fused T1+T2+T5 emitting pre-exploded rows (the hot path)."""
+    return pages.select("url", "html").mapInPandas(
+        _tag_flat_batches, schema=TAG_FLAT_SCHEMA)
+
+
+def flat_mentions(flat: DataFrame) -> DataFrame:
+    """kind='m' slice == the resolved-mentions table (with link_norm)."""
+    return flat.filter(F.col("kind") == "m").select(
+        "url", "sent_id", "pos", "begin", "end", "surface", "coarse",
+        "fine", "nominal", "link_norm")
+
+
+def flat_triggers(flat: DataFrame) -> DataFrame:
+    return flat.filter(F.col("kind") == "t").select(
+        "url", "sent_id", "begin", "end", "fine_event",
+        "left_types", "right_types", "conf")
+
+
+def flat_gaps(flat: DataFrame) -> DataFrame:
+    return flat.filter(F.col("kind") == "g").select(
+        "url", "sent_id", "pos", "phrase", "begins_with_comma")
+
+
+def flat_assertions(flat: DataFrame) -> DataFrame:
+    """kind='a' slice == relation∪event rows in the assertion schema
+    consumed by canonical_triples (subj side from coarse/fine/link_norm)."""
+    return flat.filter(F.col("kind") == "a").select(
+        "url", "sent_id",
+        F.col("link_norm").alias("subj_norm"),
+        F.col("coarse").alias("subj_coarse"),
+        F.col("fine").alias("subj_fine"),
+        "pred", "obj_norm", "obj_coarse", "obj_fine", "conf")
+
+
 def mentions_df(tagged: DataFrame) -> DataFrame:
     """Explode to flat mention rows (url, sent_id, pos, begin, end, …)."""
     return tagged.select(

@@ -47,37 +47,31 @@ def adjacent_pairs(resolved: DataFrame, gaps: DataFrame) -> DataFrame:
     ``resolved``), mirroring the oracle's post-coref adjacency — safe
     because a connector spanning a dropped nominal can never equal a
     pattern phrase exactly.
+
+    Physical shape: ONE equi-join (mention ⋈ its gap) plus ONE window
+    (`lead` over (url, sent_id) ordered by pos, filtered to pos+1) —
+    instead of the naive m1⋈m2 self-join, saving a full shuffle of the
+    mention table.  Both shuffles key on (url, sent_id[, pos]):
+    bounded skew (mentions per sentence are capped upstream).
     """
-    m1, m2, g = resolved.alias("m1"), resolved.alias("m2"), gaps.alias("g")
+    from pyspark.sql import Window
+
+    m = resolved.join(gaps, ["url", "sent_id", "pos"], "left")
+    w = Window.partitionBy("url", "sent_id").orderBy("pos")
     return (
-        m1.join(
-            m2,
-            on=[
-                F.col("m1.url") == F.col("m2.url"),
-                F.col("m1.sent_id") == F.col("m2.sent_id"),
-                F.col("m1.pos") + 1 == F.col("m2.pos"),
-            ],
-        )
-        .join(
-            g,
-            on=[
-                F.col("m1.url") == F.col("g.url"),
-                F.col("m1.sent_id") == F.col("g.sent_id"),
-                F.col("m1.pos") == F.col("g.pos"),
-            ],
-        )
+        m.withColumn("npos", F.lead("pos").over(w))
+        .withColumn("obj_norm", F.lead("link_norm").over(w))
+        .withColumn("obj_coarse", F.lead("coarse").over(w))
+        .withColumn("obj_fine", F.lead("fine").over(w))
+        .filter(F.col("npos") == F.col("pos") + 1)
+        .filter(F.col("phrase").isNotNull())
         .select(
-            F.col("m1.url").alias("url"),
-            F.col("m1.sent_id").alias("sent_id"),
-            F.col("m1.pos").alias("pos"),
-            F.col("m1.link_norm").alias("subj_norm"),
-            F.col("m1.coarse").alias("subj_coarse"),
-            F.col("m1.fine").alias("subj_fine"),
-            F.col("m2.link_norm").alias("obj_norm"),
-            F.col("m2.coarse").alias("obj_coarse"),
-            F.col("m2.fine").alias("obj_fine"),
-            F.col("g.phrase").alias("phrase"),
-            F.col("g.begins_with_comma").alias("begins_with_comma"),
+            "url", "sent_id", "pos",
+            F.col("link_norm").alias("subj_norm"),
+            F.col("coarse").alias("subj_coarse"),
+            F.col("fine").alias("subj_fine"),
+            "obj_norm", "obj_coarse", "obj_fine",
+            "phrase", "begins_with_comma",
         )
     )
 
@@ -85,32 +79,50 @@ def adjacent_pairs(resolved: DataFrame, gaps: DataFrame) -> DataFrame:
 def extract_relations(
     spark: SparkSession, resolved: DataFrame, gaps: DataFrame
 ) -> DataFrame:
-    """→ relation rows with subj/obj as (coarse, link_norm) references."""
+    """→ relation rows with subj/obj as (coarse, link_norm) references.
+
+    Physical plan: mentions ⋈ gaps (equi-join on (url, sent_id, pos)),
+    ONE window computing lead-1 (the adjacent pair) AND lead-2 (the
+    appositive chain target), then two broadcast joins against the
+    pattern table.  Zero large-table self-joins; the appositive branch
+    shares the window exchange with the base branch (ReuseExchange).
+    """
+    from pyspark.sql import Window
+
     patterns = pattern_table(spark)
-    adj = adjacent_pairs(resolved, gaps)
+    m = resolved.join(gaps, ["url", "sent_id", "pos"], "left")
+    w = Window.partitionBy("url", "sent_id").orderBy("pos")
+    adj = (
+        m.withColumn("npos", F.lead("pos").over(w))
+        .withColumn("obj_norm", F.lead("link_norm").over(w))
+        .withColumn("obj_coarse", F.lead("coarse").over(w))
+        .withColumn("obj_fine", F.lead("fine").over(w))
+        .withColumn("npos2", F.lead("pos", 2).over(w))
+        .withColumn("obj2_norm", F.lead("link_norm", 2).over(w))
+        .withColumn("obj2_coarse", F.lead("coarse", 2).over(w))
+        .withColumn("obj2_fine", F.lead("fine", 2).over(w))
+        .withColumn("nphrase", F.lead("phrase").over(w))
+        .filter((F.col("npos") == F.col("pos") + 1)
+                & F.col("phrase").isNotNull())
+        .select(
+            "url", "sent_id", "pos",
+            F.col("link_norm").alias("subj_norm"),
+            F.col("coarse").alias("subj_coarse"),
+            F.col("fine").alias("subj_fine"),
+            "obj_norm", "obj_coarse", "obj_fine",
+            "phrase", "begins_with_comma",
+            "npos2", "obj2_norm", "obj2_coarse", "obj2_fine", "nphrase",
+        )
+    )
 
-    base_matched = adj.join(
+    base = adj.join(
         F.broadcast(patterns), ["subj_coarse", "phrase", "obj_coarse"]
-    )
-    base = base_matched.select(*_REL_COLS)
+    ).select(*_REL_COLS)
 
-    # appositive propagation: left pair (a, appos-pred, b) with a
-    # comma-led connector, chained to the NEXT adjacent pair (b, c):
-    # re-match the pattern table with subject types/ids taken from a.
-    appos = base_matched.filter(
-        F.col("begins_with_comma")
-        & F.col("pred").isin(*APPOSITIVE_PREDICATES)
-    ).select(
-        "url", "sent_id", "pos",
-        "subj_norm", "subj_coarse", "subj_fine",
-    )
-    nxt = adj.select(
-        "url", "sent_id", F.col("pos").alias("npos"),
-        F.col("obj_norm").alias("c_norm"),
-        F.col("obj_coarse").alias("c_coarse"),
-        F.col("obj_fine").alias("c_fine"),
-        F.col("phrase").alias("nphrase"),
-    )
+    # appositive propagation: pair (a, appos-pred, b) with a comma-led
+    # connector chains to the NEXT adjacent pair (b, c) — which is this
+    # same row's lead-2 columns, so no second pass over the mentions
+    appos_pat = patterns.filter(F.col("pred").isin(*APPOSITIVE_PREDICATES))
     pat2 = patterns.select(
         F.col("subj_coarse").alias("p_subj_coarse"),
         F.col("phrase").alias("p_phrase"),
@@ -118,34 +130,26 @@ def extract_relations(
         "pred", "conf",
     )
     prop = (
-        appos.join(
-            nxt,
-            on=[
-                appos.url == nxt.url,
-                appos.sent_id == nxt.sent_id,
-                appos.pos + 1 == nxt.npos,
-            ],
-        )
-        .select(
-            appos.url.alias("url"),
-            appos.sent_id.alias("sent_id"),
-            "subj_norm", "subj_coarse", "subj_fine",
-            "c_norm", "c_coarse", "c_fine", "nphrase",
-        )
+        adj.join(F.broadcast(appos_pat.select(
+            "subj_coarse", "phrase", "obj_coarse")),
+            ["subj_coarse", "phrase", "obj_coarse"])
+        .filter(F.col("begins_with_comma")
+                & (F.col("npos2") == F.col("pos") + 2)
+                & F.col("nphrase").isNotNull())
         .join(
             F.broadcast(pat2),
             on=[
                 F.col("subj_coarse") == F.col("p_subj_coarse"),
                 F.col("nphrase") == F.col("p_phrase"),
-                F.col("c_coarse") == F.col("p_obj_coarse"),
+                F.col("obj2_coarse") == F.col("p_obj_coarse"),
             ],
         )
         .select(
             "url", "sent_id", "subj_norm", "subj_coarse", "subj_fine",
             "pred",
-            F.col("c_norm").alias("obj_norm"),
-            F.col("c_coarse").alias("obj_coarse"),
-            F.col("c_fine").alias("obj_fine"),
+            F.col("obj2_norm").alias("obj_norm"),
+            F.col("obj2_coarse").alias("obj_coarse"),
+            F.col("obj2_fine").alias("obj_fine"),
             "conf",
         )
         .select(*_REL_COLS)

@@ -179,20 +179,47 @@ def build_triples_df(
 ) -> DataFrame:
     """The T1→T13 chain as ONE lazy DataFrame (no checkpoint catalog).
 
-    Same operators as run_pipeline, minus the materialization between
-    stages — for driver queries / benchmarks over in-memory corpora
-    where Catalyst may pipeline the whole plan.
+    Same operators as run_pipeline, minus the parquet materialization
+    between stages.  Two scale guards that run_pipeline gets from its
+    catalog writes and must be explicit here:
+
+    - the input is repartitioned to the session's parallelism before
+      the pandas-UDF extractor (a single parquet file would otherwise
+      pin T1/T2 to ONE task — files.maxPartitionBytes only splits big
+      files, not small ones);
+    - fan-in stages (tagged feeds T5/T6/T7; resolved feeds T4/T6/T8)
+      are persisted MEMORY_AND_DISK so the expensive Python tagging
+      runs once, not once per consumer.
     """
-    pages_text = extract_pages(pages)
-    tagged = tag_pages(pages_text)
-    resolved = resolve_nominals(mentions_df(tagged))
-    linked = link_mentions(resolved, kb_entities, kb_aliases)
+    from pyspark import StorageLevel
+
+    from gaia_spark.operators.mentions import (
+        flat_assertions,
+        flat_mentions,
+        tag_flat,
+    )
+
+    # 2× overpartitioning: page cost varies ~20× (1-20 sentences), so
+    # at 1 partition per core the slowest task gates the stage; two
+    # waves let the scheduler rebalance (measured 3× on the tag stage)
+    nparts = 2 * spark.sparkContext.defaultParallelism
+    # fused T1+T2+T5: ONE wide stage (repartition shuffle → single
+    # Arrow pass extract+tag+coref) emitting pre-exploded rows; `lang`
+    # re-joins from the input table.  flat_mentions(tagged) IS the
+    # resolved table — downstream is pure relational algebra until the
+    # final write.
+    tagged = tag_flat(pages.repartition(nparts, "url")).persist(
+        StorageLevel.MEMORY_AND_DISK)
+    resolved = flat_mentions(tagged)
+    linked = link_mentions(resolved, kb_entities, kb_aliases).persist(
+        StorageLevel.MEMORY_AND_DISK)
     nil = nil_clusters(linked)
-    rels = extract_relations(spark, resolved, gaps_df(tagged))
-    evts = extract_events(triggers_df(tagged), resolved)
-    assertions = rels.unionByName(evts)
+    # T6/T8/T9 were computed per-doc inside the tag_flat pass
+    # (oracle-exact); the 'a' slice of the cached flat table IS the
+    # assertion table — zero additional shuffles
+    assertions = flat_assertions(tagged)
     canon = canonicalize_mentions(linked, nil)
     triples = canonical_triples(assertions, canonical_map(canon))
     triples = clean_kb(triples, pages,
                        suppress_validation=suppress_validation)
-    return triples.join(pages_text.select("url", "lang"), "url")
+    return triples.join(pages.select("url", "lang"), "url")
