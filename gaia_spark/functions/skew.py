@@ -20,21 +20,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _row_salt(df: DataFrame, salt_buckets: int):
+    """Deterministic per-ROW salt: hash of the full row, not of the hot
+    key (a key-derived salt would be constant per key and spread
+    nothing).  Deterministic across retries because it is a pure
+    function of row content."""
+    return F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns], F.lit(0x5417)),
+        F.lit(salt_buckets),
+    )
+
+
 def salted_repartition(
     df: DataFrame, key: str, num_partitions: int, salt_buckets: int = 16
 ) -> DataFrame:
     """Repartition by (key, salt) — a hot key spreads over salt_buckets
     tasks instead of one straggler (SURVEY.md §2.4 'repartition / salt')."""
-    salt = F.pmod(F.xxhash64(F.col(key), F.lit(0x5417)), F.lit(salt_buckets))
-    return df.repartition(num_partitions, F.col(key), salt)
+    return df.repartition(num_partitions, F.col(key),
+                          _row_salt(df, salt_buckets))
 
 
 def salted_group_count(
     df: DataFrame, key: str, salt_buckets: int = 16
 ) -> DataFrame:
-    salt = F.pmod(F.xxhash64(F.col(key), F.lit(0x5417)), F.lit(salt_buckets))
     partial = (
-        df.withColumn("_salt", salt)
+        df.withColumn("_salt", _row_salt(df, salt_buckets))
         .groupBy(key, "_salt")
         .agg(F.count(F.lit(1)).alias("_partial"))
     )

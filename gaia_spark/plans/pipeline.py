@@ -208,18 +208,33 @@ def build_triples_df(
     # re-joins from the input table.  flat_mentions(tagged) IS the
     # resolved table — downstream is pure relational algebra until the
     # final write.
-    tagged = tag_flat(pages.repartition(nparts, "url")).persist(
+    tagged = tag_flat(pages.repartition(nparts, "url"), kinds="ma").persist(
         StorageLevel.MEMORY_AND_DISK)
-    resolved = flat_mentions(tagged)
-    linked = link_mentions(resolved, kb_entities, kb_aliases).persist(
+    # T4/T4b/T11 operate on DISTINCT SURFACES, not mention occurrences:
+    # the map-side-combined distinct collapses 10^12 mention rows to the
+    # surface vocabulary before any linking join runs, so the KB join,
+    # LSH blocking, and connected components all touch tiny tables and
+    # the canonical map broadcasts back out (north_star: broadcast
+    # alias/KB dictionary; AQE-aware join choice).
+    surfaces = (
+        flat_mentions(tagged).select("coarse", "link_norm").distinct())
+    linked_s = link_mentions(surfaces, kb_entities, kb_aliases).persist(
         StorageLevel.MEMORY_AND_DISK)
-    nil = nil_clusters(linked)
+    nil = nil_clusters(linked_s)
+    # cmap feeds BOTH the subj- and obj-side rewrites — persist it or
+    # the whole NIL-clustering plan re-executes once per join side
+    cmap = canonical_map(
+        canonicalize_mentions(linked_s, nil)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # T6/T8/T9 were computed per-doc inside the tag_flat pass
     # (oracle-exact); the 'a' slice of the cached flat table IS the
     # assertion table — zero additional shuffles
     assertions = flat_assertions(tagged)
-    canon = canonicalize_mentions(linked, nil)
-    triples = canonical_triples(assertions, canonical_map(canon))
-    triples = clean_kb(triples, pages,
-                       suppress_validation=suppress_validation)
+    triples = canonical_triples(assertions, cmap)
+    if not suppress_validation:
+        from gaia_spark.operators.cleankb import valid_triples
+        triples = valid_triples(triples)
+    # one inner join against pages(url, lang) serves as BOTH the
+    # cleanKB orphan-provenance semi-join (urls are unique) and the
+    # T12 language re-attach — one shuffle instead of two
     return triples.join(pages.select("url", "lang"), "url")

@@ -206,7 +206,11 @@ def write_corpus(out_dir: str, n: int, seed: int = 42) -> None:
         "text": pa.array([p["text"] for p in pages], pa.string()),
         "lang": pa.array([p["lang"] for p in pages], pa.string()),
     })
-    pq.write_table(t, os.path.join(out_dir, "pages.parquet"))
+    # small row groups: parquet splits only at row-group boundaries, so
+    # a single default-sized group would make the scan single-task no
+    # matter the cluster size (row_group_size is the split unit)
+    pq.write_table(t, os.path.join(out_dir, "pages.parquet"),
+                   row_group_size=2000)
 
     kb = kb_rows()
     pq.write_table(pa.table({

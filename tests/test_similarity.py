@@ -1,0 +1,88 @@
+"""Similarity-search suite: brute-force top-k vs numpy, LSH ANN recall."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gaia_spark.functions import similarity as sim
+
+RNG = np.random.default_rng(7)
+N, DIM = 120, 16
+VECS = RNG.normal(size=(N, DIM)).astype(np.float32)
+# plant two exact duplicates so ties exercise the id tie-break
+VECS[7] = VECS[3]
+VECS[11] = VECS[3]
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in VECS[i]]) for i in range(N)],
+        "vec_id long, embedding array<float>")
+
+
+def _numpy_topk(qid: int, k: int):
+    v = VECS.astype(np.float64)
+    sims = v @ v[qid] / (np.linalg.norm(v, axis=1) * np.linalg.norm(v[qid]))
+    order = sorted((i for i in range(N) if i != qid),
+                   key=lambda i: (-sims[i], i))
+    return [(i, sims[i]) for i in order[:k]]
+
+
+def test_cosine_topk_matches_numpy(spark, emb_df):
+    got = sim.cosine_topk(emb_df, emb_df.filter(F.col("vec_id") < 5), 5)
+    rows = got.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q in range(5):
+        ranked = sorted(by_q[q], key=lambda r: r.rank)
+        expect = _numpy_topk(q, 5)
+        assert [r.neighbor_id for r in ranked] == [i for i, _ in expect]
+        for r, (_, s) in zip(ranked, expect):
+            assert r.sim_x10k == int(np.floor(10000 * s))
+
+
+def test_cosine_topk_tie_break_deterministic(spark, emb_df):
+    """vec 3, 7, 11 are identical: each must list the others first,
+    ordered by neighbor_id (sim==1 exactly)."""
+    got = sim.cosine_topk(
+        emb_df, emb_df.filter(F.col("vec_id") == 3), 2).collect()
+    ranked = sorted(got, key=lambda r: r.rank)
+    assert [r.neighbor_id for r in ranked] == [7, 11]
+    assert all(r.sim_x10k >= 9999 for r in ranked)
+
+
+def test_ann_lsh_recall(spark, emb_df):
+    """Bucketed ANN with few planes must recover most true neighbors
+    (same-bucket probability falls with angle)."""
+    exact = sim.cosine_topk(emb_df, emb_df.filter(F.col("vec_id") < 10), 3)
+    approx = sim.ann_topk_lsh(
+        emb_df, emb_df.filter(F.col("vec_id") < 10), 3, num_planes=4)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    assert len(a & e) / len(e) >= 0.5
+    # and the approx result never invents non-neighbors ranked above
+    # true sims: every returned pair must carry the exact cosine
+    exact_all = {(r.query_id, r.neighbor_id): r.sim_x10k
+                 for r in sim.cosine_topk(
+                     emb_df, emb_df.filter(F.col("vec_id") < 10),
+                     N - 1).collect()}
+    for r in approx.collect():
+        assert exact_all[(r.query_id, r.neighbor_id)] == r.sim_x10k
+
+
+def test_embedding_dup_pairs_finds_planted(spark, emb_df):
+    pairs = {(r.a_id, r.b_id)
+             for r in sim.embedding_dup_pairs(emb_df, 9999).collect()}
+    assert (3, 7) in pairs and (3, 11) in pairs and (7, 11) in pairs
+
+
+def test_lsh_bucket_deterministic_across_partitionings(spark, emb_df):
+    a = {(r.vec_id, r.b) for r in emb_df.select(
+        "vec_id", sim.lsh_bucket_col(F.col("embedding"), 8).alias("b")
+    ).collect()}
+    b = {(r.vec_id, r.b) for r in emb_df.repartition(7).select(
+        "vec_id", sim.lsh_bucket_col(F.col("embedding"), 8).alias("b")
+    ).collect()}
+    assert a == b

@@ -1,0 +1,102 @@
+"""Two-cluster-size scaling probe (north_rule: efficiency ≥ 0.8).
+
+No real cluster exists in this sandbox, so N vs 4N executors is
+evidenced as local[8] vs local[32] (driver instruction): the SAME KG
+pipeline job over the SAME cached corpus, each size in a fresh JVM
+subprocess, throughput measured after JVM+Python-worker warmup.
+
+    python tools/bench_scaling.py [n_docs] [repeats]
+
+Prints one JSON line and appends a markdown row to BENCH/SCALING.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RUNNER = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from gaia_spark.session import get_spark
+from gaia_spark.plans.pipeline import build_triples_df
+from gaia_spark.operators.mentions import tag_flat
+
+cpus = int(os.environ["SPARK_GRAFT_CPUS"])
+cdir = os.environ["SPARK_GRAFT_CORPUS"]
+spark = get_spark("scaling", cpus=cpus, shuffle_partitions=2 * cpus)
+spark.sparkContext.setLogLevel("ERROR")
+pages = spark.read.parquet(f"{{cdir}}/pages.parquet")
+kb_e = spark.read.parquet(f"{{cdir}}/kb_entities.parquet")
+kb_a = spark.read.parquet(f"{{cdir}}/kb_aliases.parquet")
+# warmup: JVM + python workers + lexicon import
+tag_flat(pages.limit(256).repartition(2 * cpus)).count()
+t0 = time.perf_counter()
+n = build_triples_df(spark, pages, kb_e, kb_a).count()
+dt = time.perf_counter() - t0
+print("RESULT " + json.dumps({{"cpus": cpus, "secs": round(dt, 2),
+                               "triples": n}}))
+spark.stop()
+"""
+
+
+def run_one(cpus: int, cdir: str) -> dict:
+    env = dict(os.environ,
+               SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_CORPUS=cdir)
+    out = subprocess.run(
+        [sys.executable, "-c", RUNNER.format(repo=REPO)],
+        env=env, capture_output=True, text=True, check=True, cwd=REPO)
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"no RESULT line:\n{out.stdout}\n{out.stderr}")
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    n_lo = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    n_hi = int(sys.argv[3]) if len(sys.argv) > 3 else 4 * n_lo
+    sys.path.insert(0, REPO)
+    from bench import corpus_dir
+    cdir = corpus_dir(n_docs)
+
+    best: dict[int, dict] = {}
+    for cpus in (n_lo, n_hi):
+        r = run_one(cpus, cdir)
+        if cpus not in best or r["secs"] < best[cpus]["secs"]:
+            best[cpus] = r
+    t_lo, t_hi = best[n_lo]["secs"], best[n_hi]["secs"]
+    d_lo, d_hi = n_docs / t_lo, n_docs / t_hi
+    eff = (d_hi / d_lo) / (n_hi / n_lo)
+    result = {
+        "n_docs": n_docs, "cores": [n_lo, n_hi],
+        f"local{n_lo}_secs": t_lo,
+        f"local{n_lo}_docs_per_sec": round(d_lo, 1),
+        f"local{n_hi}_secs": t_hi,
+        f"local{n_hi}_docs_per_sec": round(d_hi, 1),
+        "speedup": round(t_lo / t_hi, 2),
+        "scaling_efficiency": round(eff, 3),
+        "triples": best[n_hi]["triples"],
+    }
+    print(json.dumps(result))
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    path = os.path.join(REPO, "BENCH", "SCALING.md")
+    new = not os.path.exists(path)
+    with open(path, "a") as f:
+        if new:
+            f.write("# Scaling probe: local[N] vs local[4N] "
+                    "(N vs 4N executors proxy)\n\n"
+                    "| docs | cores | T(N) s | docs/s @N | T(4N) s | "
+                    "docs/s @4N | speedup | efficiency |\n"
+                    "|---|---|---|---|---|---|---|---|\n")
+        f.write(f"| {n_docs} | {n_lo}->{n_hi} | {t_lo} | {round(d_lo,1)} "
+                f"| {t_hi} | {round(d_hi,1)} | {round(t_lo/t_hi,2)}x | "
+                f"{round(eff,3)} |\n")
+
+
+if __name__ == "__main__":
+    main()
