@@ -24,16 +24,26 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 REPO = os.path.dirname(os.path.abspath(__file__))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "2000"))
+KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "20000"))
 
 
-def corpus_dir(n: int, seed: int = 42) -> str:
-    """Synthesize (once) and cache the pages corpus for the KG bench."""
-    out = os.path.join(REPO, ".bench", f"corpus_{n}_{seed}")
+def corpus_dir(n: int, seed: int = 42,
+               sents: tuple[int, int] | None = None) -> str:
+    """Synthesize (once) and cache the pages corpus for the KG bench.
+
+    $SPARK_GRAFT_SENTS="lo-hi" sets the per-page sentence range
+    (default 1-20 = the short-page fixture; 10-60 ≈ realistic
+    Common-Crawl page length).
+    """
+    if sents is None:
+        lo, hi = os.environ.get("SPARK_GRAFT_SENTS", "1-20").split("-")
+        sents = (int(lo), int(hi))
+    suffix = "" if sents == (1, 20) else f"_s{sents[0]}-{sents[1]}"
+    out = os.path.join(REPO, ".bench", f"corpus_{n}_{seed}{suffix}")
     marker = os.path.join(out, "pages.parquet")
     if not os.path.exists(marker):
         from gaia_synth.corpus import write_corpus
-        write_corpus(out, n, seed)
+        write_corpus(out, n, seed, sents)
     return out
 
 
@@ -91,6 +101,17 @@ def main() -> None:
 
     kg_secs = timed("kg_pipeline", run_kg)
 
+    # single-node comparison point: the reference-equivalent single-core
+    # oracle over the same generator (BASELINE.md: the reference
+    # publishes no numbers, so this measured rate IS the baseline)
+    import time as _t
+    from gaia_ref.oracle import run_oracle
+    from gaia_synth.corpus import gen_pages
+    _pages = gen_pages(1000)
+    _t0 = _t.perf_counter()
+    run_oracle(_pages)
+    oracle_rate = round(1000 / (_t.perf_counter() - _t0), 2)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total",
@@ -101,6 +122,7 @@ def main() -> None:
         "cpus": CPUS,
         "kg_docs": KG_DOCS,
         "kg_docs_per_sec": round(KG_DOCS / kg_secs, 2),
+        "single_core_oracle_docs_per_sec": oracle_rate,
     }))
     spark.stop()
 

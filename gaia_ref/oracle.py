@@ -122,14 +122,22 @@ def resolve_nominals(mentions: list[Mention]) -> list[tuple[Mention, Mention]]:
 
 def extract_doc_assertions(
     text: str,
+    pretagged: tuple | None = None,
 ) -> tuple[list[dict], list[dict]]:
     """Per-doc relations + events over resolved mentions.
 
     Returns (relation_rows, event_rows); subj/obj given as the *resolved
     surface mention* (coarse, fine, surface of the antecedent) — linking
     to canonical ids happens corpus-wide afterwards.
+
+    ``pretagged=(mentions, triggers)`` skips the internal tag_document
+    call when the caller already tagged the text (the fused Spark stage
+    tags exactly once per document).
     """
-    mentions, triggers = tag_document(text)
+    if pretagged is None:
+        mentions, triggers = tag_document(text)
+    else:
+        mentions, triggers = pretagged
     resolved = resolve_nominals(mentions)
     sent_spans = {sid: (sb, se) for sid, sb, se in split_sentences(text)}
 

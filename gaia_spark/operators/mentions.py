@@ -70,9 +70,9 @@ TAGGED_SCHEMA = StructType([
 ])
 
 
-def _tag_one(url: str, text: str) -> dict:
+def _tag_one(url: str, text: str, pre: tuple | None = None) -> dict:
     text = text or ""
-    ms, trs = tag_document(text)
+    ms, trs = pre if pre is not None else tag_document(text)
     sent_spans = {sid: (sb, se) for sid, sb, se in split_sentences(text)}
     by_sent: dict[int, list] = {}
     for m in ms:
@@ -142,7 +142,7 @@ TAGGED_RESOLVED_SCHEMA = StructType([
 ])
 
 
-def _tag_resolve_one(url: str, text: str) -> dict:
+def _tag_resolve_one(url: str, text: str, pre: tuple | None = None) -> dict:
     """Per-doc kernel: tag, then resolve nominals exactly like
     gaia_ref.oracle.resolve_nominals / operators.coref._resolve_group
     (nearest preceding named antecedent of same coarse type; unresolved
@@ -153,7 +153,7 @@ def _tag_resolve_one(url: str, text: str) -> dict:
     """
     from gaia_ref.extract import norm_surface
 
-    base = _tag_one(url, text)
+    base = _tag_one(url, text, pre)
     last_named: dict[str, tuple[str, str]] = {}
     resolved = []
     # mention rows arrive sorted by (sent_id, begin) from _tag_one
@@ -240,28 +240,44 @@ _PAD = (None, None, None, None)  # pred..obj_fine for non-assertion rows
 
 
 def _flat_rows(url: str, text: str, kinds: str = "mtga") -> list[tuple]:
+    """One tag_document call serves every requested row family."""
     from gaia_ref.extract import norm_surface
-    from gaia_ref.oracle import extract_doc_assertions
+    from gaia_ref.oracle import extract_doc_assertions, resolve_nominals
 
-    d = _tag_resolve_one(url, text)
+    pre = tag_document(text or "")
     rows = []
-    if "m" in kinds:
-        for (sid, pos, b, e, surf, coarse, fine, nominal, ln) in d["mentions"]:
-            rows.append((url, "m", sid, pos, b, e, surf, coarse, fine,
-                         nominal, ln, None, None, None, None, None, None)
-                        + _PAD)
-    if "t" in kinds:
-        for (sid, b, e, fev, lt, rt, conf) in d["triggers"]:
-            rows.append((url, "t", sid, None, b, e, None, None, None,
-                         None, None, fev, lt, rt, conf, None, None)
-                        + _PAD)
-    if "g" in kinds:
-        for (sid, pos, phrase, bwc) in d["gaps"]:
-            rows.append((url, "g", sid, pos, None, None, None, None,
-                         None, None, None, None, None, None, None,
-                         phrase, bwc) + _PAD)
+    if "m" in kinds or "t" in kinds or "g" in kinds:
+        d = _tag_resolve_one(url, text, pre)
+        if "m" in kinds:
+            for (sid, pos, b, e, surf, coarse, fine, nominal,
+                 ln) in d["mentions"]:
+                rows.append((url, "m", sid, pos, b, e, surf, coarse,
+                             fine, nominal, ln, None, None, None, None,
+                             None, None) + _PAD)
+        if "t" in kinds:
+            for (sid, b, e, fev, lt, rt, conf) in d["triggers"]:
+                rows.append((url, "t", sid, None, b, e, None, None,
+                             None, None, None, fev, lt, rt, conf, None,
+                             None) + _PAD)
+        if "g" in kinds:
+            for (sid, pos, phrase, bwc) in d["gaps"]:
+                rows.append((url, "g", sid, pos, None, None, None,
+                             None, None, None, None, None, None, None,
+                             None, phrase, bwc) + _PAD)
+    if "s" in kinds:
+        # per-doc-distinct resolved surface pairs, skinny: the ONLY
+        # mention-derived input the fast path needs (linking/NIL/
+        # canonicalization run over the surface vocabulary)
+        surfs = sorted({
+            (m.coarse, norm_surface(a.surface))
+            for m, a in resolve_nominals(pre[0])
+        })
+        for coarse, ln in surfs:
+            rows.append((url, "s", 0, None, None, None, None, coarse,
+                         None, None, ln, None, None, None, None, None,
+                         None) + _PAD)
     if "a" in kinds:
-        rels, evts = extract_doc_assertions(text)
+        rels, evts = extract_doc_assertions(text, pretagged=pre)
         for r in rels + evts:
             a, b = r["subj_m"], r["obj_m"]
             rows.append((url, "a", r["sent_id"], None, None, None, None,
@@ -312,6 +328,11 @@ def flat_triggers(flat: DataFrame) -> DataFrame:
 def flat_gaps(flat: DataFrame) -> DataFrame:
     return flat.filter(F.col("kind") == "g").select(
         "url", "sent_id", "pos", "phrase", "begins_with_comma")
+
+
+def flat_surfaces(flat: DataFrame) -> DataFrame:
+    """kind='s' slice: per-doc-distinct (coarse, link_norm) pairs."""
+    return flat.filter(F.col("kind") == "s").select("coarse", "link_norm")
 
 
 def flat_assertions(flat: DataFrame) -> DataFrame:

@@ -195,7 +195,7 @@ def build_triples_df(
 
     from gaia_spark.operators.mentions import (
         flat_assertions,
-        flat_mentions,
+        flat_surfaces,
         tag_flat,
     )
 
@@ -208,16 +208,16 @@ def build_triples_df(
     # re-joins from the input table.  flat_mentions(tagged) IS the
     # resolved table — downstream is pure relational algebra until the
     # final write.
-    tagged = tag_flat(pages.repartition(nparts, "url"), kinds="ma").persist(
+    tagged = tag_flat(pages.repartition(nparts, "url"), kinds="sa").persist(
         StorageLevel.MEMORY_AND_DISK)
     # T4/T4b/T11 operate on DISTINCT SURFACES, not mention occurrences:
-    # the map-side-combined distinct collapses 10^12 mention rows to the
-    # surface vocabulary before any linking join runs, so the KB join,
-    # LSH blocking, and connected components all touch tiny tables and
-    # the canonical map broadcasts back out (north_star: broadcast
-    # alias/KB dictionary; AQE-aware join choice).
-    surfaces = (
-        flat_mentions(tagged).select("coarse", "link_norm").distinct())
+    # the tagger pre-dedups per doc ('s' rows), the map-side-combined
+    # distinct collapses those to the corpus surface vocabulary before
+    # any linking join runs, so the KB join, LSH blocking, and
+    # connected components all touch tiny tables and the canonical map
+    # broadcasts back out (north_star: broadcast alias/KB dictionary;
+    # AQE-aware join choice).
+    surfaces = flat_surfaces(tagged).distinct()
     linked_s = link_mentions(surfaces, kb_entities, kb_aliases).persist(
         StorageLevel.MEMORY_AND_DISK)
     nil = nil_clusters(linked_s)

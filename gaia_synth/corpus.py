@@ -93,11 +93,17 @@ def _filler_sentence(rng: random.Random, lang: str) -> str:
     return " ".join(words) + " ."
 
 
-def page_sentences(i: int, seed: int = 42) -> list[str]:
-    """Pure function (seed, i) → the page's planted sentences."""
+def page_sentences(i: int, seed: int = 42,
+                   sents: tuple[int, int] = (1, 20)) -> list[str]:
+    """Pure function (seed, i, sents) → the page's planted sentences.
+
+    ``sents`` bounds the per-page sentence count: the default matches
+    the original short-page fixture; pass e.g. (10, 60) for
+    realistic Common-Crawl-length pages (bench/scaling corpora).
+    """
     rng = random.Random((seed << 32) ^ (i * 2654435761 % (1 << 61)))
     lang = page_lang(i, seed)
-    n = rng.randint(1, 20)
+    n = rng.randint(*sents)
     out: list[str] = []
     while len(out) < n:
         r = rng.random()
@@ -167,7 +173,8 @@ def _wrap_html(rng: random.Random, sentences: list[str], title: str) -> bytes:
     return joiner.join(parts).encode("utf-8")
 
 
-def gen_pages(n: int, seed: int = 42) -> list[dict]:
+def gen_pages(n: int, seed: int = 42,
+              sents: tuple[int, int] = (1, 20)) -> list[dict]:
     """n pages: [{url, warc_ts, html, text, lang}]. ~5% near-duplicates
     (i % 20 == 19 reuses page i-1's sentences, shuffled)."""
     out = []
@@ -176,28 +183,30 @@ def gen_pages(n: int, seed: int = 42) -> list[dict]:
         lang = page_lang(i, seed)
         domain = page_domain(i, seed)
         if i % 20 == 19 and i > 0:
-            sents = list(page_sentences(i - 1, seed))
-            rng.shuffle(sents)
-            if sents and rng.random() < 0.5:
-                sents[0] = sents[0].replace(" .", " indeed .")
+            s = list(page_sentences(i - 1, seed, sents))
+            rng.shuffle(s)
+            if s and rng.random() < 0.5:
+                s[0] = s[0].replace(" .", " indeed .")
+            sents_i = s
         else:
-            sents = page_sentences(i, seed)
+            sents_i = page_sentences(i, seed, sents)
         url = f"https://{domain}/{lang}/art-{i:08d}"
         ts = _EPOCH + dt.timedelta(seconds=(i * 9973) % (30 * 86400))
-        html = _wrap_html(rng, sents, title=f"article {i}")
+        html = _wrap_html(rng, sents_i, title=f"article {i}")
         out.append({"url": url, "warc_ts": ts, "html": html,
                     "text": None, "lang": lang})
     return out
 
 
-def write_corpus(out_dir: str, n: int, seed: int = 42) -> None:
+def write_corpus(out_dir: str, n: int, seed: int = 42,
+                 sents: tuple[int, int] = (1, 20)) -> None:
     """Write pages/kb_entities/kb_aliases/page_meta parquet into out_dir."""
     import os
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
-    pages = gen_pages(n, seed)
+    pages = gen_pages(n, seed, sents)
     t = pa.table({
         "url": pa.array([p["url"] for p in pages], pa.string()),
         "warc_ts": pa.array([p["warc_ts"] for p in pages],
