@@ -323,6 +323,80 @@ def rel_correlated_subquery(spark, sf_dir):
     """)
 
 
+def rel_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) — the batch
+    formulation of session windows: lag + cumulative flag sum, then
+    per-session aggregation.  All integer arithmetic (epoch seconds)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # integer microseconds: cross-engine exact (timestamps carry µs;
+    # second-truncating functions would shift session boundaries)
+    gap = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.lag(F.col("ts").cast("timestamp")).over(w))
+    flagged = e.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0))
+    sess = flagged.withColumn(
+        "session_seq", F.sum("new_sess").over(wrun))
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.min("event_id").alias("first_event"),
+             (F.unix_micros(F.max(F.col("ts").cast("timestamp")))
+              - F.unix_micros(F.min(F.col("ts").cast("timestamp"))))
+             .alias("duration_us"))
+    )
+
+
+def rel_intersect(spark, sf_dir):
+    """INTERSECT: nations with both customers and suppliers."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+def rel_pivot(spark, sf_dir):
+    """Pivot order status → columns per priority (null-safe counts)."""
+    o = _t(spark, sf_dir, "orders")
+    p = (o.groupBy("o_orderpriority")
+         .pivot("o_orderstatus", ["F", "O", "P"]).count())
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+    )
+
+
+def rel_in_subquery(spark, sf_dir):
+    """IN-subquery through the SQL surface: orders of AUTOMOBILE
+    customers per month."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql("""
+        SELECT date_trunc('month', o_orderdate) AS month,
+               count(*) AS n_orders
+        FROM v_orders
+        WHERE o_custkey IN (SELECT c_custkey FROM v_customer
+                            WHERE c_mktsegment = 'AUTOMOBILE')
+        GROUP BY 1
+    """)
+
+
+def text_winnow(spark, sf_dir):
+    """Winnowing fingerprint counts per doc (rolling-hash document
+    fingerprinting; k=5 char shingles, window w=4)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    return (
+        ta.winnow_fingerprints(d)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_fingerprints"))
+    )
+
+
 def rel_global_topk(spark, sf_dir):
     """Global top-15 by price — orderBy+limit with total tie-break."""
     li = _t(spark, sf_dir, "lineitem")
@@ -506,6 +580,16 @@ def kg_pipeline_triples(spark, sf_dir):
     )
 
 
+def kg_graph_edges(spark, sf_dir):
+    """Graph materialization surface: deduplicated canonical edges
+    with provenance counts (the Multimedia-KB cylinder analog)."""
+    from gaia_spark.operators.canonicalize import graph_edges
+    from gaia_spark.plans.pipeline import build_triples_df
+    pages, kb_e, kb_a = _synth_corpus(spark)
+    edges = graph_edges(build_triples_df(spark, pages, kb_e, kb_a))
+    return edges.select("subj", "pred", "obj", "n_provenances")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational primitives (SURVEY.md §2.4)
@@ -530,6 +614,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_count_distinct": rel_count_distinct,
         "rel_correlated_subquery": rel_correlated_subquery,
         "rel_global_topk": rel_global_topk,
+        "rel_sessionize": rel_sessionize,
+        "rel_intersect": rel_intersect,
+        "rel_pivot": rel_pivot,
+        "rel_in_subquery": rel_in_subquery,
+        "text_winnow": text_winnow,
         # training-data pipeline
         "text_quality": text_quality,
         "text_lang_dist": text_lang_dist,
@@ -545,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_extract_text": kg_extract_text,
         "kg_mentions": kg_mentions,
         "kg_pipeline_triples": kg_pipeline_triples,
+        "kg_graph_edges": kg_graph_edges,
     }
 
 
@@ -730,6 +820,64 @@ def oracle_sql() -> dict[str, str]:
         SELECT s_suppkey, s_name FROM supplier s
         WHERE s_acctbal > (SELECT avg(s2.s_acctbal) FROM supplier s2
                            WHERE s2.s_nationkey = s.s_nationkey)
+    """
+
+    sql["rel_sessionize"] = """
+        WITH flagged AS (
+          SELECT event_id, user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                           > 1800000000
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+          SELECT event_id, user_id, ts,
+                 SUM(new_sess) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS session_seq
+          FROM flagged
+        )
+        SELECT user_id, session_seq::BIGINT AS session_seq,
+               count(*) AS n_events,
+               min(event_id) AS first_event,
+               (epoch_us(max(ts)) - epoch_us(min(ts)))::BIGINT
+                 AS duration_us
+        FROM sess GROUP BY user_id, session_seq
+    """
+
+    sql["rel_intersect"] = """
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey AS nationkey FROM supplier
+    """
+
+    sql["rel_pivot"] = """
+        SELECT o_orderpriority,
+               SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0
+                   END)::BIGINT AS n_f,
+               SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0
+                   END)::BIGINT AS n_o,
+               SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0
+                   END)::BIGINT AS n_p
+        FROM orders GROUP BY o_orderpriority
+    """
+
+    sql["rel_in_subquery"] = """
+        SELECT date_trunc('month', o_orderdate) AS month,
+               count(*) AS n_orders
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'AUTOMOBILE')
+        GROUP BY 1
+    """
+
+    sql["text_winnow"] = f"""
+        SELECT doc_id, count(*) AS n_fingerprints
+        FROM ({ta.sql_winnow_fingerprints('documents',
+                                          where='doc_id < 80')})
+        GROUP BY doc_id
     """
 
     sql["rel_global_topk"] = """

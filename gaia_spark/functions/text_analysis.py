@@ -148,6 +148,63 @@ def lang_id_col(text: Column) -> Column:
     return F.when(best == 0, F.lit("und")).otherwise(expr)
 
 
+def winnow_fingerprints(df: DataFrame, k: int = 5, w: int = 4,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003 shape).
+
+    char k-gram shingles → md5 per shingle → sliding-window (w) minimum
+    → distinct mins are the doc's fingerprints.  The md5 HEX STRING is
+    the hash value (lexicographic min), so DuckDB mirrors it exactly.
+    Pure built-ins: substr with Column args + explode + one window.
+
+    → (doc_id, pos, fp) distinct fingerprint rows.
+    """
+    from pyspark.sql import Window
+
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    n_sh = F.greatest(F.length(norm) - k + 1, F.lit(1))
+    shingled = df.select(
+        F.col(id_col).alias("doc_id"),
+        norm.alias("t"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n_sh),
+                lambda i: F.md5(F.substr(norm, i, F.lit(k))),
+            )
+        ).alias("pos", "h"),
+    )
+    win = (Window.partitionBy("doc_id").orderBy("pos")
+           .rowsBetween(Window.currentRow, w - 1))
+    return (
+        shingled.withColumn("fp", F.min("h").over(win))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
+def sql_winnow_fingerprints(rel: str, k: int = 5, w: int = 4,
+                            text_col: str = "text",
+                            id_col: str = "doc_id",
+                            where: str = "TRUE") -> str:
+    """DuckDB twin of winnow_fingerprints."""
+    norm = (rf"trim(regexp_replace(lower({text_col}), '\s+', ' ', 'g'))")
+    return f"""
+WITH docs AS (
+  SELECT {id_col} AS doc_id, {norm} AS t FROM {rel} WHERE {where}
+), shingles AS (
+  SELECT doc_id, i AS pos, md5(substr(t, i::INT, {k})) AS h
+  FROM docs, unnest(range(1, greatest(length(t) - {k} + 1, 1) + 1))
+       AS u(i)
+)
+SELECT DISTINCT doc_id,
+       min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+         AS fp
+FROM shingles
+"""
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL generators (same constants, DuckDB dialect)
 # ---------------------------------------------------------------------------
