@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 REPO = os.path.dirname(os.path.abspath(__file__))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "20000"))
+KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "50000"))
 
 
 def corpus_dir(n: int, seed: int = 42,
