@@ -288,28 +288,38 @@ def _flat_rows(url: str, text: str, kinds: str = "mtga") -> list[tuple]:
     return rows
 
 
-def _tag_flat_batches(kinds: str):
+def _tag_flat_batches(kinds: str, from_text: bool):
     from gaia_ref.extract import extract_text
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows: list[tuple] = []
-            for u, h in zip(pdf["url"], pdf["html"]):
-                rows.extend(_flat_rows(u, extract_text(h), kinds))
+            if from_text:
+                for u, t in zip(pdf["url"], pdf["text"]):
+                    rows.extend(_flat_rows(u, t or "", kinds))
+            else:
+                for u, h in zip(pdf["url"], pdf["html"]):
+                    rows.extend(_flat_rows(u, extract_text(h), kinds))
             yield pd.DataFrame(rows, columns=_FLAT_COLS)
 
     return run
 
 
-def tag_flat(pages: DataFrame, kinds: str = "mtga") -> DataFrame:
-    """Fused T1+T2+T5 emitting pre-exploded rows (the hot path).
+def tag_flat(pages: DataFrame, kinds: str = "mtga",
+             from_text: bool = False) -> DataFrame:
+    """Fused T1+T2+T5(+T6/T8 'a') emitting pre-exploded rows.
 
     ``kinds`` selects emitted row families ('m'entions, 't'riggers,
-    'g'aps, 'a'ssertions) — the pipeline fast path emits only "ma",
-    cutting the Arrow/shuffle row volume ~35%.
+    'g'aps, 's'urfaces, 'a'ssertions) — the pipeline fast path emits
+    only "sa", cutting the Arrow/shuffle row volume ~60%.
+
+    ``from_text=True`` consumes an already-extracted ``text`` column
+    (e.g. the checkpointed pages_text table) instead of re-extracting
+    from ``html``.
     """
-    return pages.select("url", "html").mapInPandas(
-        _tag_flat_batches(kinds), schema=TAG_FLAT_SCHEMA)
+    src = "text" if from_text else "html"
+    return pages.select("url", src).mapInPandas(
+        _tag_flat_batches(kinds, from_text), schema=TAG_FLAT_SCHEMA)
 
 
 def flat_mentions(flat: DataFrame) -> DataFrame:

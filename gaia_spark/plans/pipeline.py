@@ -8,18 +8,23 @@ stage hash, so a killed run resumes after its last completed stage and
 re-runs are idempotent replace-by-run_id writes (SURVEY.md §2.5/§3.1).
 
 Stage boundaries (each = one checkpoint table, per-partition lineage):
-  pages_text   T1   (partitioned by lang → language filters prune)
-  tagged       T2/T3/T7
-  resolved     T5
-  linked       T4a
-  nil_ids      T4b (LSH + connected components)
-  assertions   T6 + T8/T9
+  pages_text   T1   (partitioned by lang → language filters prune;
+                     the byte-identical ltf-analog artifact)
+  tagged       T2/T3/T5/T7 + per-doc T6/T8/T9 — the fused flat pass
+               over the checkpointed text (kinds "msa": mentions for
+               graph stats, surfaces for linking, assertions)
+  linked       T4a over DISTINCT surfaces (broadcast alias dict)
+  nil_ids      T4b (LSH + containment + connected components)
   triples      T11 + T13 (canonical, cleaned; partitioned by lang)
   nodes/edges  graph materialization (T11 dedup surface)
 
 Within a stage Catalyst pipelines the narrow ops; across stages the
 materialization is deliberate — resumability over pipelining
-(SURVEY.md §4.1 "stage = full materialization" row).
+(SURVEY.md §4.1 "stage = full materialization" row).  The same fused
+kernel backs build_triples_df (the single-job throughput path, no
+checkpoints); the per-stage relational formulations of T5/T6/T8
+(operators/coref.py, relations.py, events.py) remain the documented
+decomposition and per-operator test surface.
 """
 
 from __future__ import annotations
@@ -39,8 +44,6 @@ from gaia_spark.operators.canonicalize import (
     graph_nodes,
 )
 from gaia_spark.operators.cleankb import clean_kb
-from gaia_spark.operators.coref import resolve_nominals
-from gaia_spark.operators.events import extract_events
 from gaia_spark.operators.extract import extract_pages
 from gaia_spark.operators.linking import (
     canonicalize_mentions,
@@ -48,12 +51,11 @@ from gaia_spark.operators.linking import (
     nil_clusters,
 )
 from gaia_spark.operators.mentions import (
-    gaps_df,
-    mentions_df,
-    tag_pages,
-    triggers_df,
+    flat_assertions,
+    flat_mentions,
+    flat_surfaces,
+    tag_flat,
 )
-from gaia_spark.operators.relations import extract_relations
 
 
 def run_pipeline(
@@ -100,49 +102,40 @@ def run_pipeline(
         partition_by=["lang"],
     )
 
-    # T2/T3/T7 — tag (mentions+triggers+gaps arrays, one text scan)
+    # T2/T3/T5/T7 + per-doc T6/T8/T9 — the fused flat pass over the
+    # checkpointed text ('m' rows for graph stats, 's' for linking,
+    # 'a' assertions); one Python round-trip for the whole corpus
     h_tag = stage_hash("tagged", h_text)
     step("tagged", h_tag,
-         lambda: tag_pages(cat.read(spark, "pages_text")))
+         lambda: tag_flat(cat.read(spark, "pages_text"), kinds="msa",
+                          from_text=True))
 
-    # T5 — nominal coref (per-doc grouped map), adds link_norm
-    h_res = stage_hash("resolved", h_tag)
-    step("resolved", h_res,
-         lambda: resolve_nominals(mentions_df(cat.read(spark, "tagged"))))
-
-    # T4a — broadcast alias link
-    h_link = stage_hash("linked", h_res, kb_fp)
+    # T4a — broadcast alias link over DISTINCT surfaces (the linking
+    # problem is over the surface vocabulary, not mention occurrences)
+    h_link = stage_hash("linked", h_tag, kb_fp)
     step(
         "linked", h_link,
         lambda: link_mentions(
-            cat.read(spark, "resolved"),
+            flat_surfaces(cat.read(spark, "tagged")).distinct(),
             spark.read.parquet(kb_e_path),
             spark.read.parquet(kb_a_path)),
     )
 
-    # T4b — NIL clustering over distinct unlinked surfaces
+    # T4b — NIL clustering over the unlinked surfaces
     h_nil = stage_hash("nil_ids", h_link)
     step("nil_ids", h_nil,
          lambda: nil_clusters(cat.read(spark, "linked")),
          )
 
-    # T6 + T8/T9 — assertions (relations ∪ events), mention-referenced
-    h_asrt = stage_hash("assertions", h_res, h_tag)
-    def _assertions():
-        tagged = cat.read(spark, "tagged")
-        resolved = cat.read(spark, "resolved")
-        rels = extract_relations(spark, resolved, gaps_df(tagged))
-        evts = extract_events(triggers_df(tagged), resolved)
-        return rels.unionByName(evts)
-    step("assertions", h_asrt, _assertions)
+    def _cmap():
+        return canonical_map(canonicalize_mentions(
+            cat.read(spark, "linked"), cat.read(spark, "nil_ids")))
 
     # T11 + T13 — canonical triples, cleaned, lang re-attached
-    h_tri = stage_hash("triples", h_asrt, h_nil, h_link, config=conf)
+    h_tri = stage_hash("triples", h_tag, h_nil, h_link, config=conf)
     def _triples():
-        canon = canonicalize_mentions(
-            cat.read(spark, "linked"), cat.read(spark, "nil_ids"))
-        cmap = canonical_map(canon)
-        triples = canonical_triples(cat.read(spark, "assertions"), cmap)
+        triples = canonical_triples(
+            flat_assertions(cat.read(spark, "tagged")), _cmap())
         triples = clean_kb(
             triples, spark.read.parquet(pages_path),
             suppress_validation=suppress_validation)
@@ -151,14 +144,13 @@ def run_pipeline(
     step("triples", h_tri, _triples, partition_by=["lang"])
 
     # graph materialization — canonical node/edge tables (Multimedia-KB
-    # cylinder analog, diagram): deduplicated graph surface
-    h_nodes = stage_hash("nodes", h_nil, h_link)
-    step(
-        "nodes", h_nodes,
-        lambda: graph_nodes(
-            canonicalize_mentions(
-                cat.read(spark, "linked"), cat.read(spark, "nil_ids"))),
-    )
+    # cylinder analog, diagram): deduplicated graph surface.  Node
+    # stats need per-mention rows ('m' slice) rewritten to canonical.
+    h_nodes = stage_hash("nodes", h_tag, h_nil, h_link)
+    def _nodes():
+        m = flat_mentions(cat.read(spark, "tagged"))
+        return graph_nodes(m.join(_cmap(), ["coarse", "link_norm"]))
+    step("nodes", h_nodes, _nodes)
     h_edges = stage_hash("edges", h_tri)
     step("edges", h_edges,
          lambda: graph_edges(cat.read(spark, "triples")))
