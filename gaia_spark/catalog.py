@@ -35,7 +35,13 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-CODE_VERSION = "1"
+# Bump whenever any stage's OUTPUT SCHEMA or semantics change: the
+# stage hash is (stage, CODE_VERSION, config, input hashes), so without
+# a bump a resume after upgrading would silently accept checkpoints
+# written in the old format.  "2": tagged stage moved from nested-array
+# TAGGED_SCHEMA to flat TAG_FLAT_SCHEMA; linked stage moved to distinct
+# surfaces.
+CODE_VERSION = "2"
 
 
 def stage_hash(stage: str, *inputs: str, config: str = "") -> str:

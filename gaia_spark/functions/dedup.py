@@ -234,7 +234,10 @@ def minhash_dedup_pairs(df: DataFrame, min_x10k: int,
         .union(cand.select("b_id"))
         .distinct()
     )
-    restricted = postings.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    # no broadcast hint: the candidate-doc set scales with the corpus's
+    # near-dup population — AQE picks broadcast vs shuffle semi-join by
+    # its actual size at runtime
+    restricted = postings.join(cand_docs, "doc_id", "left_semi")
     verified = jaccard_pairs(restricted, min_x10k)
     return verified.join(cand, ["a_id", "b_id"],
                          "left_semi").select("a_id", "b_id", "jac_x10k")

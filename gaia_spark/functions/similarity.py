@@ -220,27 +220,44 @@ def embedding_dup_pairs(
     min_x10k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_planes: int = 16,
+    bands: int = 4,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a<b, floor(1e4·cos)≥min).
 
-    Exhaustive within LSH buckets; used as the embedding leg of the
-    dedup suite.  → (a_id, b_id, sim_x10k)
+    Banded random-hyperplane blocking (OR over ``bands`` bands of
+    num_planes/bands sign bits each) + exact cosine verification of
+    candidates — the minhash-LSH shape applied to embeddings, so a pair
+    only needs to agree on ONE band to be checked.  Recall at cosine c
+    with 4 bands of 4 planes: 1-(1-(1-θ/π)^4)^4, e.g. ≈0.93 at c=0.92.
+    → (a_id, b_id, sim_x10k)
     """
-    base = df.select(
+    r = num_planes // bands
+    hashed = df.select(
         F.col(id_col).alias("id"),
         _as_double(df, vec_col).alias("v"),
-        lsh_bucket_col(F.col(vec_col), 8).alias("bucket"),
+        lsh_bucket_col(F.col(vec_col), num_planes).alias("bucket"),
+    )
+    base = hashed.select(
+        "id", "v",
+        F.posexplode(
+            F.array(*[
+                F.shiftright(F.col("bucket"), k * r)
+                .bitwiseAND(F.lit((1 << r) - 1))
+                for k in range(bands)
+            ])
+        ).alias("band_id", "band_val"),
     )
     a, b = base.alias("a"), base.alias("b")
     return (
-        a.join(b, "bucket")
+        a.join(b, ["band_id", "band_val"])
         .filter(F.col("a.id") < F.col("b.id"))
-        .withColumn("sim", cosine_col(F.col("a.v"), F.col("b.v")))
+        .select(F.col("a.id").alias("a_id"),
+                F.col("b.id").alias("b_id"),
+                F.col("a.v").alias("av"), F.col("b.v").alias("bv"))
+        .dropDuplicates(["a_id", "b_id"])
+        .withColumn("sim", cosine_col(F.col("av"), F.col("bv")))
         .withColumn("sim_x10k", F.floor(F.lit(SCALE) * F.col("sim")))
         .filter(F.col("sim_x10k") >= min_x10k)
-        .select(
-            F.col("a.id").alias("a_id"),
-            F.col("b.id").alias("b_id"),
-            "sim_x10k",
-        )
+        .select("a_id", "b_id", "sim_x10k")
     )

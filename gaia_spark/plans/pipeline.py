@@ -169,7 +169,13 @@ def build_triples_df(
     kb_aliases: DataFrame,
     suppress_validation: bool = False,
 ) -> DataFrame:
-    """The T1→T13 chain as ONE lazy DataFrame (no checkpoint catalog).
+    """The T1→T13 chain as one DataFrame job (no checkpoint catalog).
+
+    NOT fully lazy: NIL clustering runs eagerly at construction time
+    (connected components needs actions), and three intermediates are
+    persisted MEMORY_AND_DISK and left cached for the caller — a
+    long-lived session issuing many calls should
+    ``spark.catalog.clearCache()`` between them.
 
     Same operators as run_pipeline, minus the parquet materialization
     between stages.  Two scale guards that run_pipeline gets from its

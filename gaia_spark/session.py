@@ -19,6 +19,21 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
 
+def _default_driver_mem() -> str:
+    """Half of host RAM, clamped to [4g, 64g] — in local mode the
+    driver JVM is the whole cluster, but a fixed large -Xmx would fail
+    on small/cgroup-limited hosts."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    gb = int(line.split()[1]) // (1024 * 1024)
+                    return f"{max(4, min(64, gb // 2))}g"
+    except OSError:
+        pass
+    return "8g"
+
+
 def get_spark(
     app_name: str = "gaia_spark",
     cpus: int | str | None = None,
@@ -47,7 +62,8 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory",
-                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"))
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM",
+                               _default_driver_mem()))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

@@ -5,9 +5,10 @@ evidenced as local[8] vs local[32] (driver instruction): the SAME KG
 pipeline job over the SAME cached corpus, each size in a fresh JVM
 subprocess, throughput measured after JVM+Python-worker warmup.
 
-    python tools/bench_scaling.py [n_docs] [repeats]
+    python tools/bench_scaling.py [n_docs] [n_lo] [n_hi]
 
-Prints one JSON line and appends a markdown row to BENCH/SCALING.md.
+n_lo/n_hi are the two core counts (default 4 and 4*n_lo).  Prints one
+JSON line and appends a markdown row to BENCH/SCALING.md.
 """
 
 from __future__ import annotations
@@ -64,11 +65,7 @@ def main() -> None:
     from bench import corpus_dir
     cdir = corpus_dir(n_docs)
 
-    best: dict[int, dict] = {}
-    for cpus in (n_lo, n_hi):
-        r = run_one(cpus, cdir)
-        if cpus not in best or r["secs"] < best[cpus]["secs"]:
-            best[cpus] = r
+    best = {cpus: run_one(cpus, cdir) for cpus in (n_lo, n_hi)}
     t_lo, t_hi = best[n_lo]["secs"], best[n_hi]["secs"]
     d_lo, d_hi = n_docs / t_lo, n_docs / t_hi
     eff = (d_hi / d_lo) / (n_hi / n_lo)
