@@ -349,6 +349,17 @@ def rel_sessionize(spark, sf_dir):
     )
 
 
+def rel_cube(spark, sf_dir):
+    """CUBE over (returnflag, linestatus): all grouping sets."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.sum(_dec("l_extendedprice")).cast("double")
+             .alias("sum_base"))
+    )
+
+
 def rel_intersect(spark, sf_dir):
     """INTERSECT: nations with both customers and suppliers."""
     c = _t(spark, sf_dir, "customer").select(
@@ -615,6 +626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_correlated_subquery": rel_correlated_subquery,
         "rel_global_topk": rel_global_topk,
         "rel_sessionize": rel_sessionize,
+        "rel_cube": rel_cube,
         "rel_intersect": rel_intersect,
         "rel_pivot": rel_pivot,
         "rel_in_subquery": rel_in_subquery,
@@ -845,6 +857,14 @@ def oracle_sql() -> dict[str, str]:
                (epoch_us(max(ts)) - epoch_us(min(ts)))::BIGINT
                  AS duration_us
         FROM sess GROUP BY user_id, session_seq
+    """
+
+    sql["rel_cube"] = """
+        SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    AS DOUBLE) AS sum_base
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
     """
 
     sql["rel_intersect"] = """
