@@ -492,6 +492,15 @@ def ann_lsh_topk(spark, sf_dir):
                             num_planes=6)
 
 
+def ann_ivf_topk(spark, sf_dir):
+    """IVF ANN (k-means coarse quantizer, 4-probe): the bucketed scale
+    path — approximate, so rows-only; recall + exact-sim checks live in
+    tests/test_similarity.py."""
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.ann_topk_ivf(e, e.filter(F.col("vec_id") < 8), 5,
+                            n_clusters=16, n_probe=4)
+
+
 def emb_dup_pairs(spark, sf_dir):
     """Exhaustive embedding-cosine near-dup pairs (vec_id<300,
     cos≥0.40) — the exact verification kernel of embedding dedup."""
@@ -640,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
         "emb_dup_pairs": emb_dup_pairs,
         "media_meta": media_meta,
         # KG construction (rows-only; oracled by gaia_ref under pytest)

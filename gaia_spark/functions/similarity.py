@@ -215,6 +215,135 @@ def ann_topk_lsh(
     )
 
 
+def _centroid_distances(vec: Column, centroids: list[list[float]]) -> Column:
+    """Array of squared L2 distances from vec to each centroid (pure
+    column expressions; centroids are plan literals, no broadcast var)."""
+    dists = []
+    for c in centroids:
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        dists.append(
+            F.aggregate(
+                F.zip_with(vec, carr, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0).cast("double"),
+                lambda acc, v: acc + v,
+            )
+        )
+    return F.array(*dists)
+
+
+def ivf_fit_centroids(
+    corpus: DataFrame,
+    k: int = 16,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic-init Lloyd k-means for the IVF coarse quantizer.
+
+    Init = the k corpus vectors with smallest xxhash64(id) (seeded,
+    order-free); each iteration is one assign (column exprs) + one
+    per-dimension mean (posexplode → groupBy — map-side combined).
+    Centroids are tiny (k×dim) and live on the driver between rounds.
+    Mean aggregation is float-sum-order dependent at ~1e-16 — harmless
+    for retrieval (re-rank is exact) but documented for reproducibility.
+    """
+    base = corpus.select(
+        F.col(id_col).alias("id"),
+        _as_double(corpus, vec_col).alias("v"),
+    )
+    seeds = (
+        base.withColumn("h", F.xxhash64(F.col("id"), F.lit(ANN_SEED)))
+        .orderBy("h").limit(k).select("v").collect()
+    )
+    centroids = [list(r.v) for r in seeds]
+    for _ in range(iters):
+        assigned = base.withColumn(
+            "dists", _centroid_distances(F.col("v"), centroids)
+        ).withColumn(
+            "cluster",
+            F.array_position(F.col("dists"),
+                             F.array_min(F.col("dists"))) - 1,
+        )
+        dim_means = (
+            assigned.select(
+                "cluster",
+                F.posexplode(F.col("v")).alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new_c = [list(c) for c in centroids]  # keep empty clusters
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in dim_means:
+            by_cluster.setdefault(int(r.cluster), {})[int(r.dim)] = r.m
+        for ci, dims in by_cluster.items():
+            new_c[ci] = [dims[d] for d in sorted(dims)]
+        centroids = new_c
+    return centroids
+
+
+def ann_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    centroids: list[list[float]] | None = None,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: k-means coarse quantizer partitions the corpus into
+    inverted lists; each query probes its n_probe nearest lists and
+    exact-cosine re-ranks only those candidates.
+
+    At scale the cluster id is the partition/bucket key (write the
+    corpus bucketed by it), so a query touches n_probe/n_clusters of
+    the data.  → (query_id, neighbor_id, rank, sim_x10k)
+    """
+    if centroids is None:
+        centroids = ivf_fit_centroids(corpus, k=n_clusters,
+                                      id_col=id_col, vec_col=vec_col)
+    cb = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(corpus, vec_col).alias("cv"),
+        )
+        .withColumn("_d", _centroid_distances(F.col("cv"), centroids))
+        .withColumn(
+            "cluster",
+            F.array_position(F.col("_d"), F.array_min(F.col("_d"))) - 1)
+        .drop("_d")
+    )
+    qd = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(queries, vec_col).alias("qv"),
+    ).withColumn("dists", _centroid_distances(F.col("qv"), centroids))
+    # n_probe nearest clusters per query: sort (dist, idx) pairs
+    idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
+    pairs = F.array_sort(
+        F.zip_with(F.col("dists"), idx,
+                   lambda d, i: F.struct(d.alias("d"), i.alias("i"))))
+    qb = qd.select(
+        "query_id", "qv",
+        F.explode(F.slice(pairs, 1, n_probe)).alias("p"),
+    ).select("query_id", "qv", F.col("p.i").alias("cluster"))
+    sims = (
+        cb.join(F.broadcast(qb), "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", cosine_col(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank",
+            F.floor(F.lit(SCALE) * F.col("sim")).alias("sim_x10k"),
+        )
+    )
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     min_x10k: int,

@@ -72,6 +72,25 @@ def test_ann_lsh_recall(spark, emb_df):
         assert exact_all[(r.query_id, r.neighbor_id)] == r.sim_x10k
 
 
+def test_ann_ivf_recall_and_exact_sims(spark, emb_df):
+    """IVF: coarse-quantizer probing must recover most true neighbors
+    and every returned sim must equal the exact cosine."""
+    import pyspark.sql.functions as F
+    exact = sim.cosine_topk(emb_df, emb_df.filter(F.col("vec_id") < 10), 3)
+    ivf = sim.ann_topk_ivf(
+        emb_df, emb_df.filter(F.col("vec_id") < 10), 3,
+        n_clusters=8, n_probe=4)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+    assert len(a & e) / len(e) >= 0.5
+    exact_all = {(r.query_id, r.neighbor_id): r.sim_x10k
+                 for r in sim.cosine_topk(
+                     emb_df, emb_df.filter(F.col("vec_id") < 10),
+                     N - 1).collect()}
+    for r in ivf.collect():
+        assert exact_all[(r.query_id, r.neighbor_id)] == r.sim_x10k
+
+
 def test_embedding_dup_pairs_finds_planted(spark, emb_df):
     pairs = {(r.a_id, r.b_id)
              for r in sim.embedding_dup_pairs(emb_df, 9999).collect()}
