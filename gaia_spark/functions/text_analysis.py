@@ -156,29 +156,41 @@ def winnow_fingerprints(df: DataFrame, k: int = 5, w: int = 4,
     char k-gram shingles → md5 per shingle → sliding-window (w) minimum
     → distinct mins are the doc's fingerprints.  The md5 HEX STRING is
     the hash value (lexicographic min), so DuckDB mirrors it exactly.
-    Pure built-ins: substr with Column args + explode + one window.
 
-    → (doc_id, pos, fp) distinct fingerprint rows.
+    The whole computation is per-document, so it stays INSIDE the row:
+    shingle hashes, sliding minima, and distinct fingerprints are all
+    higher-order array expressions (transform / slice / array_min /
+    array_distinct); only the small distinct-fingerprint set is
+    exploded.  No per-shingle row explosion, no window shuffle — at
+    100 TB the shuffle-free plan is one narrow map stage, vs the old
+    one-row-per-character posexplode + window (≈100-trillion-row
+    shuffle keyed by doc_id).
+
+    → (doc_id, fp) distinct fingerprint rows (still ``distinct()`` at
+    the end: duplicate *texts* across rows of the same doc_id would
+    otherwise duplicate fingerprints).
     """
-    from pyspark.sql import Window
-
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
-    n_sh = F.greatest(F.length(norm) - k + 1, F.lit(1))
-    shingled = df.select(
+    n_sh = F.greatest(F.length("t") - k + 1, F.lit(1))
+    hashed = df.select(
         F.col(id_col).alias("doc_id"),
         norm.alias("t"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), n_sh),
-                lambda i: F.md5(F.substr(norm, i, F.lit(k))),
-            )
-        ).alias("pos", "h"),
+    ).select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.md5(F.substr(F.col("t"), i, F.lit(k))),
+        ).alias("hs"),
     )
-    win = (Window.partitionBy("doc_id").orderBy("pos")
-           .rowsBetween(Window.currentRow, w - 1))
+    # sliding min: for window start i (1-based), min over hs[i .. i+w-1];
+    # slice() near the array end returns the shorter tail, matching the
+    # ROWS BETWEEN CURRENT ROW AND w-1 FOLLOWING frame semantics.
+    mins = F.transform(
+        F.sequence(F.lit(1), F.size("hs")),
+        lambda i: F.array_min(F.slice(F.col("hs"), i, F.lit(w))),
+    )
     return (
-        shingled.withColumn("fp", F.min("h").over(win))
-        .select("doc_id", "fp")
+        hashed.select("doc_id", F.explode(F.array_distinct(mins)).alias("fp"))
         .distinct()
     )
 
