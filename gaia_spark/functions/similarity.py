@@ -21,12 +21,19 @@ cross-engine hashing (ties at identical vectors break by neighbor_id).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from gaia_spark.functions.text_analysis import SCALE
 
 ANN_SEED = 0xA11CE
+
+#: number of independent uniform hash draws summed per hyperplane
+#: component (Irwin-Hall ≈ Gaussian); see _plane_component.
+PLANE_DRAWS = 4
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -129,10 +136,21 @@ FROM ranked WHERE rank <= {k}
 # ---------------------------------------------------------------------------
 
 def _plane_component(dim_idx: Column, plane: int) -> Column:
-    """Deterministic pseudo-gaussian-ish hyperplane component in [-1,1]:
-    xxhash64(dim, plane-seed) scaled.  Identical on every executor."""
-    h = F.xxhash64(dim_idx, F.lit(ANN_SEED + plane))
-    return (h.cast("double") / F.lit(float(2**63)))
+    """Deterministic approximately-Gaussian hyperplane component:
+    sum of PLANE_DRAWS independent uniform[-1,1) draws, each from
+    xxhash64(dim, seed) — Irwin-Hall, variance PLANE_DRAWS/3.  Identical
+    on every executor, no driver randomness or float-matrix broadcast.
+
+    Signed-random-projection collision probability 1-θ/π holds exactly
+    only for spherically-symmetric (true Gaussian) planes; the sum of 4
+    uniforms is close enough that banded-recall figures quoted from
+    that formula are good approximations, not exact guarantees.
+    """
+    acc = F.lit(0.0)
+    for d in range(PLANE_DRAWS):
+        h = F.xxhash64(dim_idx, F.lit(ANN_SEED + plane * PLANE_DRAWS + d))
+        acc = acc + (h.cast("double") / F.lit(float(2**63)))
+    return acc
 
 
 def lsh_bucket_col(vec: Column, num_planes: int = 16) -> Column:
@@ -215,20 +233,61 @@ def ann_topk_lsh(
     )
 
 
-def _centroid_distances(vec: Column, centroids: list[list[float]]) -> Column:
-    """Array of squared L2 distances from vec to each centroid (pure
-    column expressions; centroids are plan literals, no broadcast var)."""
-    dists = []
-    for c in centroids:
-        carr = F.array(*[F.lit(float(x)) for x in c])
-        dists.append(
-            F.aggregate(
-                F.zip_with(vec, carr, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0).cast("double"),
-                lambda acc, v: acc + v,
-            )
-        )
-    return F.array(*dists)
+def _sqdist_matrix(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """n×k squared-L2 distance matrix via the expansion
+    ||x||² − 2x·c + ||c||² (vectorized BLAS; tiny negatives from
+    cancellation are harmless for argmin/argsort)."""
+    return (
+        (X * X).sum(axis=1)[:, None]
+        - 2.0 * (X @ C.T)
+        + (C * C).sum(axis=1)[None, :]
+    )
+
+
+def _stack(v: pd.Series) -> np.ndarray:
+    return np.stack([np.asarray(x, dtype=np.float64) for x in v])
+
+
+def _assign_cluster_udf(df: DataFrame, centroids: list[list[float]]):
+    """Vectorized pandas UDF: nearest-centroid index per vector.
+
+    The k×dim centroid matrix travels as a SparkContext broadcast
+    variable read inside the Arrow batch loop — the physical plan stays
+    O(1) in k and dim (vs embedding k×dim float literals in the plan,
+    which explodes Catalyst/codegen at real IVF geometry k=4096,
+    dim=768).  Ties break to the lowest cluster index (np.argmin first
+    occurrence), matching the old array_position(array_min) semantics.
+    """
+    bc = df.sparkSession.sparkContext.broadcast(
+        np.asarray(centroids, dtype=np.float64))
+
+    @pandas_udf("int")
+    def assign(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        d2 = _sqdist_matrix(_stack(v), bc.value)
+        return pd.Series(np.argmin(d2, axis=1).astype(np.int32))
+
+    return assign
+
+
+def _probe_clusters_udf(df: DataFrame, centroids: list[list[float]],
+                        n_probe: int):
+    """Vectorized pandas UDF: the n_probe nearest cluster indices per
+    query vector, nearest first (stable argsort — distance ties break
+    by cluster index, matching the old array_sort-of-structs order)."""
+    bc = df.sparkSession.sparkContext.broadcast(
+        np.asarray(centroids, dtype=np.float64))
+
+    @pandas_udf("array<int>")
+    def probes(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        d2 = _sqdist_matrix(_stack(v), bc.value)
+        order = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.astype(np.int32) for row in order])
+
+    return probes
 
 
 def ivf_fit_centroids(
@@ -241,8 +300,10 @@ def ivf_fit_centroids(
     """Deterministic-init Lloyd k-means for the IVF coarse quantizer.
 
     Init = the k corpus vectors with smallest xxhash64(id) (seeded,
-    order-free); each iteration is one assign (column exprs) + one
-    per-dimension mean (posexplode → groupBy — map-side combined).
+    order-free); each iteration is one assign (vectorized pandas UDF
+    over a broadcast k×dim numpy matrix — O(1) plan size) + one
+    per-dimension mean (posexplode → groupBy — map-side combined, so
+    the shuffle is ≤ tasks×k×dim partials regardless of corpus size).
     Centroids are tiny (k×dim) and live on the driver between rounds.
     Mean aggregation is float-sum-order dependent at ~1e-16 — harmless
     for retrieval (re-rank is exact) but documented for reproducibility.
@@ -257,13 +318,8 @@ def ivf_fit_centroids(
     )
     centroids = [list(r.v) for r in seeds]
     for _ in range(iters):
-        assigned = base.withColumn(
-            "dists", _centroid_distances(F.col("v"), centroids)
-        ).withColumn(
-            "cluster",
-            F.array_position(F.col("dists"),
-                             F.array_min(F.col("dists"))) - 1,
-        )
+        assign = _assign_cluster_udf(base, centroids)
+        assigned = base.withColumn("cluster", assign(F.col("v")))
         dim_means = (
             assigned.select(
                 "cluster",
@@ -298,35 +354,27 @@ def ann_topk_ivf(
 
     At scale the cluster id is the partition/bucket key (write the
     corpus bucketed by it), so a query touches n_probe/n_clusters of
-    the data.  → (query_id, neighbor_id, rank, sim_x10k)
+    the data.  Centroids ride in a SparkContext broadcast read by
+    vectorized pandas UDFs — the plan is O(1) in (k, dim), so real IVF
+    geometry (k=4096, dim=768) costs 25 MB of broadcast, not a 3M-node
+    expression tree.  → (query_id, neighbor_id, rank, sim_x10k)
     """
     if centroids is None:
         centroids = ivf_fit_centroids(corpus, k=n_clusters,
                                       id_col=id_col, vec_col=vec_col)
-    cb = (
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            _as_double(corpus, vec_col).alias("cv"),
-        )
-        .withColumn("_d", _centroid_distances(F.col("cv"), centroids))
-        .withColumn(
-            "cluster",
-            F.array_position(F.col("_d"), F.array_min(F.col("_d"))) - 1)
-        .drop("_d")
-    )
-    qd = queries.select(
+    assign = _assign_cluster_udf(corpus, centroids)
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(corpus, vec_col).alias("cv"),
+    ).withColumn("cluster", assign(F.col("cv")))
+    probes = _probe_clusters_udf(queries, centroids, n_probe)
+    qb = queries.select(
         F.col(id_col).alias("query_id"),
         _as_double(queries, vec_col).alias("qv"),
-    ).withColumn("dists", _centroid_distances(F.col("qv"), centroids))
-    # n_probe nearest clusters per query: sort (dist, idx) pairs
-    idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
-    pairs = F.array_sort(
-        F.zip_with(F.col("dists"), idx,
-                   lambda d, i: F.struct(d.alias("d"), i.alias("i"))))
-    qb = qd.select(
+    ).select(
         "query_id", "qv",
-        F.explode(F.slice(pairs, 1, n_probe)).alias("p"),
-    ).select("query_id", "qv", F.col("p.i").alias("cluster"))
+        F.explode(probes(F.col("qv"))).alias("cluster"),
+    )
     sims = (
         cb.join(F.broadcast(qb), "cluster")
         .filter(F.col("neighbor_id") != F.col("query_id"))

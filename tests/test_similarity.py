@@ -105,3 +105,28 @@ def test_lsh_bucket_deterministic_across_partitionings(spark, emb_df):
         "vec_id", sim.lsh_bucket_col(F.col("embedding"), 8).alias("b")
     ).collect()}
     assert a == b
+
+
+def test_ivf_large_geometry_plan_is_small(spark):
+    """Real-ish IVF geometry (k=256, dim=128): the centroid matrix must
+    ride as a broadcast read by the pandas UDF, NOT as plan literals —
+    plan size stays O(1) in (k, dim) — and probing the planted-cluster
+    corpus must recover the true neighbors."""
+    rng = np.random.default_rng(42)
+    k, dim, per = 256, 128, 8
+    centers = rng.normal(size=(k, dim))
+    pts = (np.repeat(centers, per, axis=0)
+           + 0.01 * rng.normal(size=(k * per, dim)))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(k * per)],
+        "vec_id long, embedding array<float>").repartition(8)
+    cents = sim.ivf_fit_centroids(df, k=k, iters=2)
+    assert len(cents) == k and len(cents[0]) == dim
+    ivf = sim.ann_topk_ivf(df, df.filter(F.col("vec_id") < 5), 3,
+                           centroids=cents, n_probe=8)
+    plan = ivf._jdf.queryExecution().executedPlan().toString()
+    assert len(plan) < 30000, f"plan blew up: {len(plan)} chars"
+    exact = sim.cosine_topk(df, df.filter(F.col("vec_id") < 5), 3)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+    assert len(a & e) / len(e) >= 0.8
