@@ -13,9 +13,10 @@ Five families, all shuffle-conscious:
   rows → band-hash blocking join → exact-Jaccard verification of
   candidates only.  The scale path: shuffle volume is O(docs × b)
   instead of O(docs²).  With b=32, r=4 the probability of missing a
-  pair at Jaccard 0.85 is 1-(1-(1-0.85^4))^32 ≈ 6e-11, so
-  LSH + exact-verify equals the exhaustive answer in practice — which
-  is why the DuckDB oracle for it can be the exhaustive join.
+  pair at Jaccard J is (1-J^r)^b — at J=0.85, (1-0.85^4)^32 ≈ 6e-11
+  (catch probability 1-(1-J^r)^b) — so LSH + exact-verify equals the
+  exhaustive answer in practice, which is why the DuckDB oracle for it
+  can be the exhaustive join.
 - **SimHash**: 64-bit sign-aggregated token hashes; near-dup =
   Hamming distance ≤ t, blocked by 4×16-bit bands (any pair within
   Hamming ≤ 3 shares at least one exact band by pigeonhole).
@@ -216,6 +217,48 @@ def lsh_candidates(sig: DataFrame, bands: int = BANDS,
     )
 
 
+def jaccard_for_pairs(postings: DataFrame, pairs: DataFrame,
+                      min_x10k: int) -> DataFrame:
+    """Exact token-set Jaccard restricted to an explicit pair list.
+
+    → (a_id, b_id, jac_x10k) for the given (a_id, b_id) pairs with
+    floor(1e4·J) ≥ min_x10k.  Intersections are computed by expanding
+    each pair with its *a-side* token set (join on a_id) and matching
+    on (b_id, tok) — both equi-joins keyed on doc ids, never a
+    postings⋈postings join on the raw token.  Work is
+    Σ_pairs |tokens(a)|: linear in the candidate-pair count and doc
+    length, so a stop token posted by every candidate doc can NOT go
+    quadratic the way a tok-keyed self-join does (a 100%-df token over
+    10^7 candidate docs would otherwise build ~10^14 join rows).
+    Pairs with empty intersection drop out of the inner join — correct
+    for any min_x10k ≥ 1.
+    """
+    sizes = postings.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    pa = pairs.select("a_id", "b_id").join(
+        postings.select(F.col("doc_id").alias("a_id"), "tok"), "a_id")
+    inter = (
+        pa.join(postings.select(F.col("doc_id").alias("b_id"), "tok"),
+                ["b_id", "tok"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("sz").alias("szb"))
+    return (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn(
+            "jac_x10k",
+            F.floor(
+                F.lit(SCALE) * F.col("inter").cast("double")
+                / (F.col("sza") + F.col("szb") - F.col("inter"))
+            ),
+        )
+        .filter(F.col("jac_x10k") >= min_x10k)
+        .select("a_id", "b_id", "jac_x10k")
+    )
+
+
 def minhash_dedup_pairs(df: DataFrame, min_x10k: int,
                         text_col: str = "text",
                         id_col: str = "doc_id") -> DataFrame:
@@ -224,23 +267,16 @@ def minhash_dedup_pairs(df: DataFrame, min_x10k: int,
     Equals the exhaustive `jaccard_pairs` answer w.p. ≈ 1 - 6e-11 per
     true pair at J≥0.85 (see module docstring) while shuffling
     O(n·bands) instead of O(n²) — the 100 TB path.
+
+    Verification runs per candidate *pair* (jaccard_for_pairs), not by
+    restricting postings to candidate docs and re-running the tok-keyed
+    self-join: the latter still posts every stop token of every
+    candidate doc, and one common token across c candidate docs builds
+    c²/2 join rows.
     """
     postings = token_set(df, text_col, id_col)
     cand = lsh_candidates(minhash_signature(postings))
-    # verify candidates only: semi-join postings down to candidate docs,
-    # then exact Jaccard on that restricted posting set
-    cand_docs = (
-        cand.select(F.col("a_id").alias("doc_id"))
-        .union(cand.select("b_id"))
-        .distinct()
-    )
-    # no broadcast hint: the candidate-doc set scales with the corpus's
-    # near-dup population — AQE picks broadcast vs shuffle semi-join by
-    # its actual size at runtime
-    restricted = postings.join(cand_docs, "doc_id", "left_semi")
-    verified = jaccard_pairs(restricted, min_x10k)
-    return verified.join(cand, ["a_id", "b_id"],
-                         "left_semi").select("a_id", "b_id", "jac_x10k")
+    return jaccard_for_pairs(postings, cand, min_x10k)
 
 
 # ---------------------------------------------------------------------------

@@ -99,3 +99,23 @@ def test_simhash_near_pairs(spark, docs_df):
     assert pairs[(0, 2)] == 0   # identical docs → distance 0
     assert pairs[(3, 4)] == 0   # permutation → same token set
     assert (0, 3) not in pairs  # unrelated docs far apart
+
+
+def test_minhash_skew_100pct_token(spark):
+    """A token posted by EVERY doc (worst-case df skew) must not make
+    the verify path quadratic: per-pair verification only expands LSH
+    candidate pairs, so the answer still equals the exhaustive oracle
+    and the common token contributes |pairs| rows, not |docs|^2/2."""
+    docs = []
+    for i in range(200):
+        base = " ".join(["the"] + [f"tok{i}{c}" for c in "abcdefghi"])
+        docs.append((2 * i, base))
+        docs.append((2 * i + 1, base + f" tok{i}j"))  # J = 10/11
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r.a_id, r.b_id, r.jac_x10k)
+           for r in dd.minhash_dedup_pairs(df, 9000).collect()}
+    exhaustive = {(r.a_id, r.b_id, r.jac_x10k)
+                  for r in dd.jaccard_pairs(
+                      dd.token_set(df), 9000).collect()}
+    assert got == exhaustive
+    assert got == {(2 * i, 2 * i + 1, 9090) for i in range(200)}
