@@ -56,6 +56,12 @@ def adjacent_pairs(resolved: DataFrame, gaps: DataFrame) -> DataFrame:
     """
     from pyspark.sql import Window
 
+    # the lead-window rewrite assumes ≤1 gap row per (url, sent_id,
+    # pos): a duplicate gap row would duplicate a mention row in the
+    # window and lead() would return the same pos (filtered out) —
+    # silently DROPPING the pair.  The tagger emits unique gaps, but
+    # dedup defensively (cheap: keys match the join, shuffle reused).
+    gaps = gaps.dropDuplicates(["url", "sent_id", "pos"])
     m = resolved.join(gaps, ["url", "sent_id", "pos"], "left")
     w = Window.partitionBy("url", "sent_id").orderBy("pos")
     return (
@@ -90,6 +96,8 @@ def extract_relations(
     from pyspark.sql import Window
 
     patterns = pattern_table(spark)
+    # see adjacent_pairs: lead-window correctness needs gap uniqueness
+    gaps = gaps.dropDuplicates(["url", "sent_id", "pos"])
     m = resolved.join(gaps, ["url", "sent_id", "pos"], "left")
     w = Window.partitionBy("url", "sent_id").orderBy("pos")
     adj = (

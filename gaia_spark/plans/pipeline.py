@@ -232,7 +232,12 @@ def build_triples_df(
     if not suppress_validation:
         from gaia_spark.operators.cleankb import valid_triples
         triples = valid_triples(triples)
-    # one inner join against pages(url, lang) serves as BOTH the
-    # cleanKB orphan-provenance semi-join (urls are unique) and the
-    # T12 language re-attach — one shuffle instead of two
-    return triples.join(pages.select("url", "lang"), "url")
+    # one inner join against a url-unique pages(url, lang) map serves as
+    # BOTH the cleanKB orphan-provenance semi-join and the T12 language
+    # re-attach — one shuffle instead of two.  Recrawled corpora carry
+    # duplicate urls, which an inner join would multiply into duplicate
+    # triples: collapse to one deterministic lang per url first (min —
+    # the groupBy keys on url, the same key as the join, so AQE/Exchange
+    # reuse keeps it to the one shuffle).
+    lang_map = pages.groupBy("url").agg(F.min("lang").alias("lang"))
+    return triples.join(lang_map, "url")

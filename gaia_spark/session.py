@@ -19,19 +19,44 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
 
-def _default_driver_mem() -> str:
-    """Half of host RAM, clamped to [4g, 64g] — in local mode the
-    driver JVM is the whole cluster, but a fixed large -Xmx would fail
-    on small/cgroup-limited hosts."""
+def _available_mem_bytes() -> int | None:
+    """The memory actually available to this process: min of host
+    MemTotal and any cgroup limit.  Inside a cgroup-limited container
+    /proc/meminfo reports HOST RAM, so reading it alone would size the
+    driver -Xmx above the real limit and get the JVM OOM-killed."""
+    candidates = []
     try:
         with open("/proc/meminfo") as f:
             for line in f:
                 if line.startswith("MemTotal:"):
-                    gb = int(line.split()[1]) // (1024 * 1024)
-                    return f"{max(4, min(64, gb // 2))}g"
+                    candidates.append(int(line.split()[1]) * 1024)
+                    break
     except OSError:
         pass
-    return "8g"
+    for path in ("/sys/fs/cgroup/memory.max",                 # cgroup v2
+                 "/sys/fs/cgroup/memory/memory.limit_in_bytes"):  # v1
+        try:
+            with open(path) as f:
+                raw = f.read().strip()
+            if raw != "max":
+                val = int(raw)
+                # v1 reports a huge sentinel (~2^63) when unlimited
+                if val < 1 << 60:
+                    candidates.append(val)
+        except (OSError, ValueError):
+            pass
+    return min(candidates) if candidates else None
+
+
+def _default_driver_mem() -> str:
+    """Half of available RAM (host ∧ cgroup limit), clamped to
+    [4g, 64g] — in local mode the driver JVM is the whole cluster, but
+    a fixed large -Xmx would fail on small/cgroup-limited hosts."""
+    avail = _available_mem_bytes()
+    if avail is None:
+        return "8g"
+    gb = avail // (1024 ** 3)
+    return f"{max(4, min(64, gb // 2))}g"
 
 
 def get_spark(

@@ -40,3 +40,21 @@ def test_fused_lang_column_matches_input(spark, fused_triples, corpus_dir):
     langs = {r.url: r.lang for r in pages.select("url", "lang").collect()}
     assert all(langs[r.url] == r.lang
                for r in fused_triples.select("url", "lang").collect())
+
+
+def test_recrawled_duplicate_urls_do_not_multiply_triples(
+        spark, corpus_dir, fused_triples):
+    """Crawl corpora carry recrawls (duplicate urls).  The final
+    lang re-attach join must collapse pages to one row per url first,
+    or every triple of a recrawled page silently duplicates."""
+    pages = spark.read.parquet(os.path.join(corpus_dir, "pages.parquet"))
+    kb_e = spark.read.parquet(
+        os.path.join(corpus_dir, "kb_entities.parquet"))
+    kb_a = spark.read.parquet(
+        os.path.join(corpus_dir, "kb_aliases.parquet"))
+    recrawled = pages.union(pages.limit(5))  # 5 urls appear twice
+    got = build_triples_df(spark, recrawled, kb_e, kb_a)
+    base = fused_triples
+    assert got.count() == base.count()
+    assert got.groupBy("url", "sent_id", "subj", "pred", "obj").count() \
+              .filter("count > 1").count() == 0
