@@ -610,6 +610,38 @@ def kg_graph_edges(spark, sf_dir):
     return edges.select("subj", "pred", "obj", "n_provenances")
 
 
+def kg_event_coref(spark, sf_dir):
+    """T10 graph-based event coreference over the pipeline's canonical
+    triples: clusters of same-type events sharing ≥1 canonical arg
+    (similarity edges → connected components; pytest-oracled —
+    tests/test_event_coref.py covers merge/transitivity/df-cap)."""
+    from gaia_spark.operators.event_coref import merged_events
+    from gaia_spark.plans.pipeline import build_triples_df
+    pages, kb_e, kb_a = _synth_corpus(spark)
+    m = merged_events(build_triples_df(spark, pages, kb_e, kb_a))
+    return m.select(
+        "event_id", "pred", "n_instances", "n_docs",
+        F.concat_ws("|", "subjs").alias("subjs"),
+        F.concat_ws("|", "objs").alias("objs"),
+    )
+
+
+def rel_connected_components(spark, sf_dir):
+    """Connected components (the J5 hash-min/union-find kernel shared
+    by T4b NIL clustering and T10 event coref) over the bipartite
+    order–part graph of a lineitem subset.  DuckDB oracle = recursive
+    CTE transitive closure + per-node min label."""
+    from gaia_spark.operators.graph import connected_components
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    edges = li.select(
+        F.concat(F.lit("o"), F.col("l_orderkey").cast("string"))
+        .alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+        .alias("dst"),
+    ).distinct()
+    return connected_components(edges)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational primitives (SURVEY.md §2.4)
@@ -657,6 +689,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mentions": kg_mentions,
         "kg_pipeline_triples": kg_pipeline_triples,
         "kg_graph_edges": kg_graph_edges,
+        "kg_event_coref": kg_event_coref,
+        "rel_connected_components": rel_connected_components,
     }
 
 
@@ -988,5 +1022,25 @@ def oracle_sql() -> dict[str, str]:
                  AS height,
                (1 + octet_length(blob) % 7)::INT AS frames
         FROM blobs
+    """
+
+    # connected components: recursive-CTE transitive closure; the
+    # component label is the min node id reachable from each node —
+    # exactly the Spark kernel's hash-min fixpoint semantics.
+    sql["rel_connected_components"] = """
+        WITH RECURSIVE base AS (
+          SELECT DISTINCT 'o' || l_orderkey AS src,
+                          'p' || l_partkey  AS dst
+          FROM lineitem WHERE l_orderkey < 200
+        ), edges AS (
+          SELECT src, dst FROM base
+          UNION
+          SELECT dst, src FROM base
+        ), reach(node, comp) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.node
+        )
+        SELECT node, min(comp) AS component FROM reach GROUP BY node
     """
     return sql
