@@ -537,6 +537,31 @@ def media_meta(spark, sf_dir):
     return mm.media_meta_cols(blobs, "doc_id", "blob")
 
 
+def media_ldcc(spark, sf_dir):
+    """S6 `.ldcc` container unwrap: wrap every 3rd doc's bytes in the
+    16-byte LDCC header, run the column-expression unwrapper, report
+    payload size + head bytes (hex) — byte-identical round-trip is the
+    invariant (oracle recomputes from the raw text)."""
+    from gaia_spark.sources import media as ms
+    d = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 200) & ~F.col("text").startswith("LDCC"))
+    header = F.unhex(F.lit(
+        ms.LDCC_MAGIC.hex().upper()
+        + "00" * (ms.LDCC_HEADER_LEN - len(ms.LDCC_MAGIC))))
+    payload = F.encode("text", "UTF-8")
+    blob = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(header, payload))
+        .otherwise(payload)
+    )
+    u = ms.unwrap_ldcc(d.select("doc_id", blob.alias("content")))
+    return u.select(
+        F.col("doc_id").alias("media_id"),
+        "was_wrapped",
+        F.length("content").alias("n_payload"),
+        F.upper(F.hex(F.substring("content", 1, 8))).alias("head_hex"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # KG-construction pipeline (GAIA semantics; pandas-UDF stages)
 # ---------------------------------------------------------------------------
@@ -684,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": ann_ivf_topk,
         "emb_dup_pairs": emb_dup_pairs,
         "media_meta": media_meta,
+        "media_ldcc": media_ldcc,
         # KG construction (rows-only; oracled by gaia_ref under pytest)
         "kg_extract_text": kg_extract_text,
         "kg_mentions": kg_mentions,
@@ -1022,6 +1048,18 @@ def oracle_sql() -> dict[str, str]:
                  AS height,
                (1 + octet_length(blob) % 7)::INT AS frames
         FROM blobs
+    """
+
+    # ldcc unwrap round-trip: the oracle recomputes payload facts from
+    # the raw text (DuckDB can't substring BLOBs, so head bytes come
+    # from the hex encoding)
+    sql["media_ldcc"] = """
+        SELECT doc_id AS media_id,
+               (doc_id % 3 = 0) AS was_wrapped,
+               octet_length(encode(text))::BIGINT AS n_payload,
+               upper(substr(hex(encode(text)), 1, 16)) AS head_hex
+        FROM documents
+        WHERE doc_id < 200 AND text NOT LIKE 'LDCC%'
     """
 
     # connected components: recursive-CTE transitive closure; the
