@@ -27,21 +27,14 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
-    DoubleType,
     LongType,
     StringType,
     StructField,
     StructType,
 )
 
-from gaia_ref.minhashing import (
-    CONTAINMENT_THRESHOLD,
-    blocking_keys,
-    char_shingles,
-    shingle_containment,
-)
+from gaia_ref.minhashing import CONTAINMENT_THRESHOLD, blocking_keys
 from gaia_spark.operators.graph import connected_components
 
 # Blocks larger than this are dropped from pair generation: at corpus
@@ -98,14 +91,29 @@ def _blocking_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(rows, columns=["coarse", "link_norm", "block_key"])
 
 
-@pandas_udf(DoubleType())
-def _containment_udf(n1: pd.Series, n2: pd.Series) -> pd.Series:
-    return pd.Series(
-        [
-            shingle_containment(char_shingles(a), char_shingles(b))
-            for a, b in zip(n1, n2)
-        ],
-        index=n1.index,
+def _shingle_col(col: F.Column) -> F.Column:
+    """char_shingles (gaia_ref/minhashing.py) as a JVM column expression:
+    distinct char 3-grams; a surface shorter than 3 chars shingles to
+    itself (substr caps at the string end, matching the Python kernel)."""
+    n = F.greatest(F.length(col) - 2, F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n),
+                    lambda i: F.substr(col, i, F.lit(3)))
+    )
+
+
+def _containment_col(n1: F.Column, n2: F.Column) -> F.Column:
+    """shingle_containment as pure built-ins — |A∩B| / min(|A|,|B|) via
+    array_intersect/size, so pair verification stays inside whole-stage
+    codegen (the last per-row Python in the linking path is gone).
+    Empty surfaces score 0.0, matching the Python kernel."""
+    s1, s2 = _shingle_col(n1), _shingle_col(n2)
+    return (
+        F.when((F.length(n1) == 0) | (F.length(n2) == 0), F.lit(0.0))
+        .otherwise(
+            F.size(F.array_intersect(s1, s2)).cast("double")
+            / F.least(F.size(s1), F.size(s2)).cast("double")
+        )
     )
 
 
@@ -143,7 +151,8 @@ def nil_clusters(linked: DataFrame) -> DataFrame:
         .distinct()
     )
     verified = pairs.filter(
-        _containment_udf("n1", "n2") >= CONTAINMENT_THRESHOLD
+        _containment_col(F.col("n1"), F.col("n2"))
+        >= CONTAINMENT_THRESHOLD
     )
     node = lambda c, n: F.concat_ws("\x1f", c, n)  # noqa: E731
     edges = verified.select(

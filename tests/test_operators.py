@@ -130,3 +130,25 @@ def test_connected_components_chain_and_isolated(spark):
              for r in connected_components(edges, nodes=nodes).collect()}
     assert comps == {"a": "a", "b": "a", "c": "a",
                      "x": "x", "y": "x", "z": "z"}
+
+
+def test_containment_col_matches_python_kernel(spark):
+    """The JVM column expression for shingle containment must equal the
+    shared gaia_ref kernel on short, padded, overlapping, and empty
+    surfaces (the per-row pandas UDF it replaced used the kernel
+    directly)."""
+    from gaia_ref.minhashing import char_shingles, shingle_containment
+    from gaia_spark.operators.linking import _containment_col
+    import pyspark.sql.functions as F
+    cases = [
+        ("kestrel", "kestrel logistics"),
+        ("ab", "ab"), ("a", "b"), ("", "abc"), ("", ""),
+        ("acme corp", "acme corporation"),
+        ("xyz", "zyx"),
+    ]
+    df = spark.createDataFrame(cases, "n1 string, n2 string")
+    got = {(r.n1, r.n2): r.c for r in df.withColumn(
+        "c", _containment_col(F.col("n1"), F.col("n2"))).collect()}
+    for a, b in cases:
+        want = shingle_containment(char_shingles(a), char_shingles(b))
+        assert abs(got[(a, b)] - want) < 1e-12, (a, b, got[(a, b)], want)
