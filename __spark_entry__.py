@@ -478,6 +478,30 @@ def dedup_simhash(spark, sf_dir):
         (F.col("doc_id") % 10_000_000) < 200))
 
 
+def dedup_simhash_recipe(spark, sf_dir):
+    """The exact SimHash bit recipe (per-bit sign-aggregated token
+    sums → packed bits), value-hash-checked cross-engine: base hash is
+    the top 60 bits of md5 (computable in BOTH Spark and DuckDB), 16
+    packed bits.  Production simhash_col differs only in the base hash
+    (xxhash64, not SQL-expressible) — this ★ pins the aggregation
+    recipe itself."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    postings = dd.token_set(d)
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
+    bit_sums = [
+        F.sum(F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1,
+                     F.lit(1)).otherwise(F.lit(-1))).alias(f"b{j}")
+        for j in range(16)
+    ]
+    agg = postings.groupBy("doc_id").agg(*bit_sums)
+    acc = F.lit(0).cast("bigint")
+    for j in range(16):
+        acc = acc + F.when(F.col(f"b{j}") > 0,
+                           F.shiftleft(F.lit(1).cast("bigint"), j)
+                           ).otherwise(F.lit(0))
+    return agg.select("doc_id", acc.alias("simhash16"))
+
+
 def ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-5 neighbors for query vectors id<8."""
     e = _t(spark, sf_dir, "embeddings")
@@ -610,12 +634,27 @@ def kg_mentions(spark, sf_dir):
                  F.count_distinct("surface").alias("n_surfaces")))
 
 
+#: per-session memo of the synthetic-corpus triples: three kg_* queries
+#: consume the same T1→T13 output, and the chain is partly eager (NIL
+#: clustering runs connected components at construction) — rebuilding
+#: it per query would triple the most expensive plan in the suite.
+_TRIPLES_CACHE: dict[int, "DataFrame"] = {}
+
+
+def _synth_triples(spark):
+    key = id(spark)
+    if key not in _TRIPLES_CACHE:
+        from gaia_spark.plans.pipeline import build_triples_df
+        pages, kb_e, kb_a = _synth_corpus(spark)
+        _TRIPLES_CACHE[key] = build_triples_df(
+            spark, pages, kb_e, kb_a).persist()
+    return _TRIPLES_CACHE[key]
+
+
 def kg_pipeline_triples(spark, sf_dir):
     """Full T1→T13 chain over the synthetic corpus → canonical
     (subj, pred, obj) triples aggregated per predicate."""
-    from gaia_spark.plans.pipeline import build_triples_df
-    pages, kb_e, kb_a = _synth_corpus(spark)
-    triples = build_triples_df(spark, pages, kb_e, kb_a)
+    triples = _synth_triples(spark)
     return (
         triples.groupBy("pred")
         .agg(F.count(F.lit(1)).alias("n_triples"),
@@ -629,9 +668,7 @@ def kg_graph_edges(spark, sf_dir):
     """Graph materialization surface: deduplicated canonical edges
     with provenance counts (the Multimedia-KB cylinder analog)."""
     from gaia_spark.operators.canonicalize import graph_edges
-    from gaia_spark.plans.pipeline import build_triples_df
-    pages, kb_e, kb_a = _synth_corpus(spark)
-    edges = graph_edges(build_triples_df(spark, pages, kb_e, kb_a))
+    edges = graph_edges(_synth_triples(spark))
     return edges.select("subj", "pred", "obj", "n_provenances")
 
 
@@ -641,9 +678,7 @@ def kg_event_coref(spark, sf_dir):
     (similarity edges → connected components; pytest-oracled —
     tests/test_event_coref.py covers merge/transitivity/df-cap)."""
     from gaia_spark.operators.event_coref import merged_events
-    from gaia_spark.plans.pipeline import build_triples_df
-    pages, kb_e, kb_a = _synth_corpus(spark)
-    m = merged_events(build_triples_df(spark, pages, kb_e, kb_a))
+    m = merged_events(_synth_triples(spark))
     return m.select(
         "event_id", "pred", "n_instances", "n_docs",
         F.concat_ws("|", "subjs").alias("subjs"),
@@ -704,6 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": dedup_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
+        "dedup_simhash_recipe": dedup_simhash_recipe,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
@@ -1048,6 +1084,30 @@ def oracle_sql() -> dict[str, str]:
                  AS height,
                (1 + octet_length(blob) % 7)::INT AS frames
         FROM blobs
+    """
+
+    # simhash bit recipe, cross-engine base hash = top 60 bits of md5
+    sql["dedup_simhash_recipe"] = """
+        WITH postings AS (
+          SELECT DISTINCT doc_id, tok
+          FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '\\s+')) AS tok
+            FROM documents WHERE doc_id < 60
+          ) WHERE tok <> ''
+        ), h AS (
+          SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+          FROM postings
+        ), bits AS (
+          SELECT doc_id, j,
+                 sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+          FROM h, unnest(range(0, 16)) AS u(j)
+          GROUP BY doc_id, j
+        )
+        SELECT doc_id,
+               sum(CASE WHEN s > 0 THEN (1::BIGINT << j)
+                        ELSE 0 END)::BIGINT AS simhash16
+        FROM bits GROUP BY doc_id
     """
 
     # ldcc unwrap round-trip: the oracle recomputes payload facts from

@@ -406,8 +406,9 @@ def embedding_dup_pairs(
     num_planes/bands sign bits each) + exact cosine verification of
     candidates — the minhash-LSH shape applied to embeddings, so a pair
     only needs to agree on ONE band to be checked.  Recall at cosine c
-    with 4 bands of 4 planes: 1-(1-(1-θ/π)^4)^4, e.g. ≈0.93 at c=0.92.
-    → (a_id, b_id, sim_x10k)
+    with 4 bands of 4 planes: 1-(1-(1-θ/π)^4)^4, e.g. ≈0.93 at c=0.92 —
+    approximate, since the planes are sums of uniform draws, not exact
+    Gaussians (see _plane_component).  → (a_id, b_id, sim_x10k)
     """
     r = num_planes // bands
     hashed = df.select(
