@@ -44,6 +44,7 @@ from gaia_spark.operators.canonicalize import (
     graph_nodes,
 )
 from gaia_spark.operators.cleankb import clean_kb
+from gaia_spark.operators.event_coref import merged_events
 from gaia_spark.operators.extract import extract_pages
 from gaia_spark.operators.linking import (
     canonicalize_mentions,
@@ -139,9 +140,19 @@ def run_pipeline(
         triples = clean_kb(
             triples, spark.read.parquet(pages_path),
             suppress_validation=suppress_validation)
-        lang_map = cat.read(spark, "pages_text").select("url", "lang")
+        # url-unique lang map: recrawled corpora carry duplicate urls
+        # and an inner join would multiply triples (see build_triples_df)
+        lang_map = (cat.read(spark, "pages_text")
+                    .groupBy("url").agg(F.min("lang").alias("lang")))
         return triples.join(lang_map, "url")
     step("triples", h_tri, _triples, partition_by=["lang"])
+
+    # T10 — graph-based event coreference over the canonical triples:
+    # one cluster row per merged event (similarity edges on shared
+    # canonical args + type → CC kernel)
+    h_ecoref = stage_hash("event_clusters", h_tri)
+    step("event_clusters", h_ecoref,
+         lambda: merged_events(cat.read(spark, "triples")))
 
     # graph materialization — canonical node/edge tables (Multimedia-KB
     # cylinder analog, diagram): deduplicated graph surface.  Node
