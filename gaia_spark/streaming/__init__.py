@@ -1,18 +1,30 @@
-"""Streaming adapter (deferred surface — SURVEY.md §2.4 last row).
+"""Streaming surface: batch-stage lift + stateful streaming operators.
 
 The reference is strictly batch (shell-orchestrated Docker stages,
 /root/reference/README.md:53-55,98-112): no watermarks, windows, or
 stateful streaming exist to reproduce.  Every stage operator is a pure
-DataFrame→DataFrame function precisely so this wrapper can lift the
-whole pipeline onto Structured Streaming unchanged when a streaming
-corpus source appears.
+DataFrame→DataFrame function precisely so ``foreach_batch_pipeline``
+can lift the whole pipeline onto Structured Streaming unchanged.
+
+Beyond the lift, two operators a continuously-crawled corpus needs:
+
+- ``streaming_exact_dedup`` — first-seen-wins exact dedup keyed by the
+  content fingerprint, state held per key via
+  ``applyInPandasWithState`` (the custom-stateful-operator surface):
+  a page whose fingerprint was emitted in ANY earlier micro-batch is
+  suppressed, surviving restarts through the query checkpoint.
+- ``windowed_page_counts`` — event-time windowed counts with a
+  watermark, the late-data-tolerant monitoring aggregate.
 """
 
 from __future__ import annotations
 
-from collections.abc import Callable
+from collections.abc import Callable, Iterator
 
+import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
 def foreach_batch_pipeline(
@@ -34,3 +46,76 @@ def foreach_batch_pipeline(
         sink_fn(stage_fn(batch_df), batch_id)
 
     return _fn
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """First-seen-wins streaming exact dedup.
+
+    Same fingerprint as the batch dedup (functions/dedup.py: md5 over
+    whitespace-canonicalized lowercase text), so a batch backfill and
+    the streaming path agree on what is a duplicate.  One state row
+    (a single boolean) per fingerprint; within a micro-batch the
+    smallest id wins (deterministic), across batches the earlier batch
+    wins.  At scale the shuffle key is the 32-byte fingerprint —
+    uniform, no skew handling needed.
+
+    → append-mode stream of (fingerprint, doc_id) keeper rows.
+    """
+    from gaia_spark.functions.text_analysis import fingerprint_col
+
+    fp = stream.select(
+        fingerprint_col(F.col(text_col)).alias("fingerprint"),
+        F.col(id_col).alias("doc_id"),
+    )
+
+    def emit_first(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            return
+        best = None
+        for pdf in pdfs:
+            if len(pdf):
+                m = int(pdf["doc_id"].min())
+                best = m if best is None else min(best, m)
+        if best is None:
+            return
+        state.update((True,))
+        yield pd.DataFrame({"fingerprint": [key[0]], "doc_id": [best]})
+
+    return fp.groupBy("fingerprint").applyInPandasWithState(
+        emit_first,
+        outputStructType="fingerprint string, doc_id long",
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def windowed_page_counts(
+    stream: DataFrame,
+    ts_col: str = "warc_ts",
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Event-time windowed per-language page counts, late-data-safe.
+
+    Watermark bounds state: windows older than max(event_time) -
+    watermark close and emit, later stragglers are dropped — the
+    standard monitoring aggregate for a continuous crawl.
+    """
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"),
+                 F.col("lang"))
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .select(F.col("win.start").alias("win_start"),
+                F.col("win.end").alias("win_end"),
+                "lang", "n_pages")
+    )

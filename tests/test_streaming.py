@@ -47,3 +47,66 @@ def test_foreach_batch_runs_batch_stage_on_stream(
     # byte-identical invariant holds through the streaming path too
     texts = {r.url: r.text for r in got.collect()}
     assert texts == oracle_result["texts"]
+
+
+def test_streaming_exact_dedup_first_seen_across_batches(spark, tmp_path):
+    """applyInPandasWithState dedup: the same fingerprint arriving in a
+    LATER micro-batch must be suppressed by state; within a batch the
+    min doc_id wins."""
+    from gaia_spark.streaming import streaming_exact_dedup
+
+    src = str(tmp_path / "docs_in")
+    os.makedirs(src)
+    schema = "doc_id long, text string"
+    # batch file 1: dup pair (1,2) + unique 3
+    spark.createDataFrame(
+        [(2, "Alpha  beta"), (1, "alpha beta"), (3, "gamma")],
+        schema).coalesce(1).write.parquet(src + "/b1")
+    # batch file 2: re-sends "alpha beta" (dup of batch 1) + unique 9
+    spark.createDataFrame(
+        [(7, "ALPHA BETA"), (9, "delta")],
+        schema).coalesce(1).write.parquet(src + "/b2")
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1")
+              .option("recursiveFileLookup", "true").parquet(src))
+    q = (streaming_exact_dedup(stream).writeStream
+         .format("memory").queryName("dedup_out")
+         .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    rows = {r.doc_id for r in spark.sql(
+        "SELECT doc_id FROM dedup_out").collect()}
+    # alpha-beta keeper = 1 (min in its first batch); 7 suppressed
+    assert rows == {1, 3, 9}
+
+
+def test_windowed_page_counts_watermark(spark, tmp_path):
+    """Event-time windowed counts flow through the streaming engine
+    with a watermark (availableNow drains everything)."""
+    import datetime as dt
+    from gaia_spark.streaming import windowed_page_counts
+
+    src = str(tmp_path / "pages_ts_in")
+    os.makedirs(src)
+    t0 = dt.datetime(2021, 1, 1, 12, 0, 0)
+    rows = [(f"u{i}", t0 + dt.timedelta(minutes=i * 7), "en")
+            for i in range(6)]
+    schema = "url string, warc_ts timestamp, lang string"
+    spark.createDataFrame(rows, schema).write.parquet(src + "/b1")
+
+    stream = (spark.readStream.schema(schema)
+              .option("recursiveFileLookup", "true").parquet(src))
+    q = (windowed_page_counts(stream, watermark="5 minutes").writeStream
+         .format("memory").queryName("win_out").outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_win"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    got = {(r.win_start.minute, r.n_pages) for r in spark.sql(
+        "SELECT * FROM win_out").collect()}
+    # events at minutes 0,7 | 14 | 21,28 | 35; watermark = 12:35 - 5min
+    # = 12:30, so the [30,40) window is still OPEN and must NOT emit —
+    # append mode only releases windows the watermark has closed.
+    assert got == {(0, 2), (10, 1), (20, 2)}
