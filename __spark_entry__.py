@@ -323,6 +323,50 @@ def rel_correlated_subquery(spark, sf_dir):
     """)
 
 
+def rel_asof_join(spark, sf_dir):
+    """As-of join (no native Spark operator): for each error event,
+    the most recent click by the same user at-or-before its timestamp.
+    Spark plan = union both sides + ONE window (last ignorenulls over
+    (ts, side)) — a single shuffle on user_id, no range/theta join, the
+    scalable formulation.  DuckDB oracle = native ASOF LEFT JOIN."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("cv"))       # dedupe equal-ts clicks
+    )
+    errors = (
+        e.filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", "ts")
+    )
+    u = clicks.select(
+        "user_id", "ts",
+        F.lit(None).cast("long").alias("event_id"),
+        "cv", F.lit(0).alias("side"),
+    ).unionByName(errors.select(
+        "user_id", "ts", "event_id",
+        F.lit(None).cast("double").alias("cv"),
+        F.lit(1).alias("side"),
+    ))
+    w = (Window.partitionBy("user_id").orderBy("ts", "side")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    asof = (
+        u.withColumn("click_value", F.last("cv", ignorenulls=True).over(w))
+        .withColumn(
+            "click_ts",
+            F.last(F.when(F.col("cv").isNotNull(), F.col("ts")),
+                   ignorenulls=True).over(w))
+    )
+    return (
+        asof.filter(F.col("side") == 1)
+        .select(
+            "event_id", "user_id", "ts", "click_ts",
+            F.floor(F.lit(100) * F.col("click_value"))
+            .alias("click_value_x100"),
+        )
+    )
+
+
 def rel_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min inactivity) — the batch
     formulation of session windows: lag + cumulative flag sum, then
@@ -727,6 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_correlated_subquery": rel_correlated_subquery,
         "rel_global_topk": rel_global_topk,
         "rel_sessionize": rel_sessionize,
+        "rel_asof_join": rel_asof_join,
         "rel_cube": rel_cube,
         "rel_intersect": rel_intersect,
         "rel_pivot": rel_pivot,
@@ -1084,6 +1129,26 @@ def oracle_sql() -> dict[str, str]:
                  AS height,
                (1 + octet_length(blob) % 7)::INT AS frames
         FROM blobs
+    """
+
+    # as-of join: DuckDB's native ASOF LEFT JOIN is the oracle for the
+    # Spark union+window formulation
+    sql["rel_asof_join"] = """
+        WITH ev AS (
+          SELECT * FROM events WHERE event_id < 20000
+        ), clicks AS (
+          SELECT user_id, ts, max(value) AS cv
+          FROM ev WHERE event_type = 'click' GROUP BY user_id, ts
+        ), errors AS (
+          SELECT event_id, user_id, ts FROM ev
+          WHERE event_type = 'error'
+        )
+        SELECT e.event_id, e.user_id, e.ts,
+               c.ts AS click_ts,
+               floor(100 * c.cv)::BIGINT AS click_value_x100
+        FROM errors e
+        ASOF LEFT JOIN clicks c
+          ON e.user_id = c.user_id AND e.ts >= c.ts
     """
 
     # simhash bit recipe, cross-engine base hash = top 60 bits of md5
