@@ -323,6 +323,48 @@ def rel_correlated_subquery(spark, sf_dir):
     """)
 
 
+def rel_pandas_udaf(spark, sf_dir):
+    """Grouped-agg pandas UDAF (Arrow-batched Python aggregate): mean
+    event value per type, computed over EXACT integer cents inside the
+    UDAF so the result is order-independent and hash-matches the SQL
+    oracle (a float sum would be partition-order dependent)."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType passed explicitly: `from __future__ import
+    # annotations` stringifies signatures, defeating inference
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def mean_value_x100(v):
+        cents = (v * 100).round().astype("int64")
+        return int(cents.sum() // len(cents)) if len(cents) else 0
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
+    return (
+        e.groupBy("event_type")
+        .agg(mean_value_x100("value").alias("mean_value_x100"))
+    )
+
+
+def rel_udtf_tokens(spark, sf_dir):
+    """Python UDTF (table function) in a LATERAL join: one (pos, tok)
+    row per whitespace token of each document — the UDTF surface the
+    reference never needed, exercised and DuckDB-oracled here."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, tok string")
+    class TokenizeUdtf:
+        def eval(self, text: str):
+            if text:
+                for i, t in enumerate(text.lower().split()):
+                    yield i, t
+
+    spark.udtf.register("tokenize_udtf", TokenizeUdtf)
+    _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 100).createOrReplaceTempView("docs_udtf_in")
+    return spark.sql(
+        "SELECT d.doc_id, t.pos, t.tok "
+        "FROM docs_udtf_in d, LATERAL tokenize_udtf(d.text) t")
+
+
 def rel_asof_join(spark, sf_dir):
     """As-of join (no native Spark operator): for each error event,
     the most recent click by the same user at-or-before its timestamp.
@@ -772,6 +814,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_global_topk": rel_global_topk,
         "rel_sessionize": rel_sessionize,
         "rel_asof_join": rel_asof_join,
+        "rel_pandas_udaf": rel_pandas_udaf,
+        "rel_udtf_tokens": rel_udtf_tokens,
         "rel_cube": rel_cube,
         "rel_intersect": rel_intersect,
         "rel_pivot": rel_pivot,
@@ -1129,6 +1173,27 @@ def oracle_sql() -> dict[str, str]:
                  AS height,
                (1 + octet_length(blob) % 7)::INT AS frames
         FROM blobs
+    """
+
+    # grouped-agg pandas UDAF twin: exact integer-cents mean
+    sql["rel_pandas_udaf"] = """
+        SELECT event_type,
+               (SUM(round(100 * value)::BIGINT)
+                // COUNT(*))::BIGINT AS mean_value_x100
+        FROM events WHERE event_id < 20000
+        GROUP BY event_type
+    """
+
+    # UDTF twin: filtered whitespace split with 0-based ordinal
+    sql["rel_udtf_tokens"] = r"""
+        WITH docs AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             t -> t <> '') AS arr
+          FROM documents WHERE doc_id < 100
+        )
+        SELECT doc_id, (i - 1)::INT AS pos, arr[i] AS tok
+        FROM docs, unnest(range(1, len(arr) + 1)) AS u(i)
     """
 
     # as-of join: DuckDB's native ASOF LEFT JOIN is the oracle for the
