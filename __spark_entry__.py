@@ -323,6 +323,40 @@ def rel_correlated_subquery(spark, sf_dir):
     """)
 
 
+def rel_range_join(spark, sf_dir):
+    """Range join (no native Spark operator): clicks within ±5 minutes
+    of each error event.  Scalable formulation = bucketize event time
+    into 5-minute buckets, equi-join each error against its bucket and
+    both neighbors (3-way fanout on the SMALL side), then apply the
+    exact range predicate — an equi-shuffle on (bucket), never a
+    cartesian/theta join.  DuckDB oracle = the plain theta join."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
+    win_us = 300 * 1_000_000  # 5 minutes in microseconds
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("c_us"),
+    ).withColumn("bucket", F.floor(F.col("c_us") / win_us))
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("e_us"),
+    )
+    probe = errors.select(
+        "error_id", "e_us",
+        F.explode(F.array(
+            F.floor(F.col("e_us") / win_us) - 1,
+            F.floor(F.col("e_us") / win_us),
+            F.floor(F.col("e_us") / win_us) + 1,
+        )).alias("bucket"),
+    )
+    return (
+        probe.join(clicks, "bucket")
+        .filter(F.abs(F.col("c_us") - F.col("e_us")) <= win_us)
+        .groupBy("error_id")
+        .agg(F.count(F.lit(1)).alias("n_near_clicks"),
+             F.min("click_id").alias("first_click_id"))
+    )
+
+
 def rel_pandas_udaf(spark, sf_dir):
     """Grouped-agg pandas UDAF (Arrow-batched Python aggregate): mean
     event value per type, computed over EXACT integer cents inside the
@@ -815,6 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_sessionize": rel_sessionize,
         "rel_asof_join": rel_asof_join,
         "rel_pandas_udaf": rel_pandas_udaf,
+        "rel_range_join": rel_range_join,
         "rel_udtf_tokens": rel_udtf_tokens,
         "rel_cube": rel_cube,
         "rel_intersect": rel_intersect,
@@ -1174,6 +1209,23 @@ def oracle_sql() -> dict[str, str]:
                (1 + octet_length(blob) % 7)::INT AS frames
         FROM blobs
     """
+
+    # range join twin: plain theta join (exact predicate only)
+    sql["rel_range_join"] = '''
+        WITH ev AS (SELECT * FROM events WHERE event_id < 20000),
+        clicks AS (
+          SELECT event_id AS click_id, epoch_us(ts) AS c_us
+          FROM ev WHERE event_type = 'click'
+        ), errors AS (
+          SELECT event_id AS error_id, epoch_us(ts) AS e_us
+          FROM ev WHERE event_type = 'error'
+        )
+        SELECT error_id, count(*) AS n_near_clicks,
+               min(click_id) AS first_click_id
+        FROM errors JOIN clicks
+          ON abs(c_us - e_us) <= 300 * 1000000
+        GROUP BY error_id
+    '''
 
     # grouped-agg pandas UDAF twin: exact integer-cents mean
     sql["rel_pandas_udaf"] = """
