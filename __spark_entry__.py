@@ -323,6 +323,26 @@ def rel_correlated_subquery(spark, sf_dir):
     """)
 
 
+def rel_map_funcs(spark, sf_dir):
+    """MAP-typed column functions (create_map / map_keys / element_at /
+    transform_values / size).  The map is built from known keys, so the
+    oracle states the expected outputs directly — Spark's map kernels
+    are checked against ground truth, no cross-engine MAP type needed."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    m = F.create_map(
+        F.lit("t"), F.col("event_type"),
+        F.lit("k"), F.get_json_object("props", "$.k"),
+    )
+    upper = F.transform_values(m, lambda _k, v: F.upper(v))
+    return e.select(
+        "event_id",
+        F.concat_ws(",", F.map_keys(m)).alias("keys"),
+        F.element_at(m, "k").alias("k_val"),
+        F.element_at(upper, "t").alias("t_upper"),
+        F.size(m).alias("n_entries"),
+    )
+
+
 def rel_range_join(spark, sf_dir):
     """Range join (no native Spark operator): clicks within ±5 minutes
     of each error event.  Scalable formulation = bucketize event time
@@ -850,6 +870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_asof_join": rel_asof_join,
         "rel_pandas_udaf": rel_pandas_udaf,
         "rel_range_join": rel_range_join,
+        "rel_map_funcs": rel_map_funcs,
         "rel_udtf_tokens": rel_udtf_tokens,
         "rel_cube": rel_cube,
         "rel_intersect": rel_intersect,
@@ -1209,6 +1230,15 @@ def oracle_sql() -> dict[str, str]:
                (1 + octet_length(blob) % 7)::INT AS frames
         FROM blobs
     """
+
+    # map-functions twin: ground-truth restatement (known keys)
+    sql["rel_map_funcs"] = '''
+        SELECT event_id, 't,k' AS keys,
+               json_extract_string(props, '$.k') AS k_val,
+               upper(event_type) AS t_upper,
+               2 AS n_entries
+        FROM events WHERE event_id < 1000
+    '''
 
     # range join twin: plain theta join (exact predicate only)
     sql["rel_range_join"] = '''
