@@ -112,8 +112,17 @@ class Catalog:
         run_id: str,
         partition_by: list[str] | None = None,
         lineage_key: str = "url",
+        metrics: dict | None = None,
     ) -> dict:
-        """Atomic replace-by-run_id write + per-partition lineage rows."""
+        """Atomic replace-by-run_id write + per-partition lineage rows.
+
+        The manifest's ``metrics`` block records the stage's wall time
+        (write + lineage aggregation, measured here — the action runs
+        inside this call) merged with any caller-provided counters:
+        the north_rule's per-stage metrics record.
+        """
+        import time
+        t0 = time.perf_counter()
         tdir = self._tdir(name)
         os.makedirs(tdir, exist_ok=True)
         final = os.path.join(tdir, f"data_{run_id}")
@@ -146,6 +155,10 @@ class Catalog:
             "table": name, "run_id": run_id, "stage_hash": shash,
             "rows": total, "n_partitions": len(lineage_rows),
             "created": dt.datetime.now(dt.timezone.utc).isoformat(),
+            "metrics": {
+                "elapsed_sec": round(time.perf_counter() - t0, 3),
+                **(metrics or {}),
+            },
             "lineage": lineage_rows,
         }
         with open(os.path.join(tmp, "_MANIFEST.json"), "w") as f:

@@ -131,3 +131,13 @@ def test_lang_partition_pruning(spark, pipeline_out):
     # fall back to semantics-only check when the string form omits it
     if m:
         assert int(m.group(1)) == 1
+
+
+def test_manifests_record_stage_metrics(spark, pipeline_out):
+    """north_rule: per-partition lineage + METRICS — every stage
+    manifest must carry a positive elapsed_sec."""
+    out, results = pipeline_out
+    cat = Catalog(out)
+    for name in results:
+        m = cat.current_manifest(name)
+        assert m["metrics"]["elapsed_sec"] > 0, name
