@@ -153,7 +153,9 @@ def norm_surface(s: str) -> str:
     s = unicodedata.normalize("NFC", s)
     toks = []
     for t in s.split():
-        t = _LEAD_PUNCT_RE.sub("", _TRAIL_PUNCT_RE.sub("", t))
+        # lstrip/rstrip char classes == _LEAD_PUNCT_RE/_TRAIL_PUNCT_RE
+        # (maximal run from each end), at C speed
+        t = t.lstrip("([\"'").rstrip(".,;:!?)]\"'")
         if t:
             toks.append(t.lower())
     return " ".join(toks)

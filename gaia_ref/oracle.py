@@ -17,7 +17,12 @@ import hashlib
 import zlib
 from collections import defaultdict
 
-from gaia_ref.extract import extract_text, norm_surface, split_sentences
+from gaia_ref.extract import (
+    extract_text,
+    norm_surface,
+    split_sentences,
+    tokenize,
+)
 from gaia_ref.gazetteer import (
     APPOSITIVE_PREDICATES,
     KB_ENTITIES,
@@ -151,10 +156,12 @@ def extract_doc_assertions(
     for sid, pairs in sorted(by_sent.items()):
         sb, se = sent_spans[sid]
         n = len(pairs)
+        stoks = tokenize(text[sb:se], base=sb) if n > 1 else None
         adj = []  # (a_ante, b_ante, phrase, begins_with_comma)
         for i in range(n - 1):
             (m1, a1), (m2, a2) = pairs[i], pairs[i + 1]
-            cp = connector_phrase(inter_tokens(text, sb, se, m1.end, m2.begin))
+            cp = connector_phrase(
+                inter_tokens(text, sb, se, m1.end, m2.begin, stoks))
             adj.append((a1, a2, cp))
         for i, (a1, a2, cp) in enumerate(adj):
             if cp is None:

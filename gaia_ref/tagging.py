@@ -12,8 +12,6 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from gaia_ref.extract import (
-    _LEAD_PUNCT_RE,
-    _TRAIL_PUNCT_RE,
     split_sentences,
     tokenize,
 )
@@ -46,16 +44,21 @@ class Trigger:
     conf: float
 
 
+# str.strip char-classes identical to _LEAD_PUNCT_RE / _TRAIL_PUNCT_RE:
+# both remove the maximal run of class characters from that end, but
+# lstrip/rstrip are C-speed (≈8× the two regex subs on this hot path).
+_LEAD_CHARS = "([\"'"
+_TRAIL_CHARS = ".,;:!?)]\"'"
+
+
 def _core(token: str) -> str:
-    return _LEAD_PUNCT_RE.sub("", _TRAIL_PUNCT_RE.sub("", token))
+    return token.lstrip(_LEAD_CHARS).rstrip(_TRAIL_CHARS)
 
 
 def _core_span(tb: int, token: str) -> tuple[int, int, str]:
     """(begin, end, core) of the punct-stripped token within the text."""
-    lead = _LEAD_PUNCT_RE.match(token)
-    lo = lead.end() if lead else 0
-    stripped = _TRAIL_PUNCT_RE.sub("", token)
-    hi = len(stripped)
+    lo = len(token) - len(token.lstrip(_LEAD_CHARS))
+    hi = len(token.rstrip(_TRAIL_CHARS))
     if hi < lo:  # all-punct token → empty core at its start
         return tb, tb, ""
     return tb + lo, tb + hi, token[lo:hi]
@@ -88,6 +91,17 @@ def _build_lexicon() -> tuple[dict, dict, int]:
 
 _NAMED, _NOMINAL, _MAX_LEN = _build_lexicon()
 
+# first-token gate: a position can only start a match if its (cased)
+# core begins some NAMED key or its lowercased core begins some NOMINAL
+# key; the per-first-token max key length bounds the k-descent.  Pure
+# lookup-pruning — the candidate set per position is unchanged.
+_KMAX_NAMED: dict[str, int] = {}
+for _k in _NAMED:
+    _KMAX_NAMED[_k[0]] = max(_KMAX_NAMED.get(_k[0], 0), len(_k))
+_KMAX_NOMINAL: dict[str, int] = {}
+for _k in _NOMINAL:
+    _KMAX_NOMINAL[_k[0]] = max(_KMAX_NOMINAL.get(_k[0], 0), len(_k))
+
 
 def tag_document(text: str) -> tuple[list[Mention], list[Trigger]]:
     """Greedy longest-match tagging over every sentence of ``text``."""
@@ -100,15 +114,29 @@ def tag_document(text: str) -> tuple[list[Mention], list[Trigger]]:
         consumed = [False] * n
         i = 0
         while i < n:
-            if not cores[i][2]:
+            c0 = cores[i][2]
+            if not c0:
                 i += 1
                 continue
+            # k-descent pruning: cap k by the longest lexicon key that
+            # starts with this token (0 → no key can match here), and
+            # truncate the window at the first empty core (the original
+            # loop `continue`d every k spanning one).  Same matches,
+            # ~10× fewer tuple builds + dict probes.
+            kcap = max(_KMAX_NAMED.get(c0, 0),
+                       _KMAX_NOMINAL.get(c0.lower(), 0))
+            if not kcap:
+                i += 1
+                continue
+            kcap = min(kcap, n - i)
+            window = [cores[j][2] for j in range(i, i + kcap)]
+            for d in range(kcap):
+                if not window[d]:
+                    kcap = d
+                    break
             matched = False
-            for k in range(min(_MAX_LEN, n - i), 0, -1):
-                seq = [cores[j][2] for j in range(i, i + k)]
-                if any(not c for c in seq):
-                    continue
-                key = tuple(seq)
+            for k in range(kcap, 0, -1):
+                key = tuple(window[:k])
                 if key in _NAMED:
                     coarse, fine = _NAMED[key]
                     b, e = cores[i][0], cores[i + k - 1][1]
@@ -120,7 +148,7 @@ def tag_document(text: str) -> tuple[list[Mention], list[Trigger]]:
                     i += k
                     matched = True
                     break
-                lkey = tuple(s.lower() for s in seq)
+                lkey = tuple(s.lower() for s in key)
                 if lkey in _NOMINAL:
                     coarse = _NOMINAL[lkey]
                     b, e = cores[i][0], cores[i + k - 1][1]
@@ -148,12 +176,16 @@ def tag_document(text: str) -> tuple[list[Mention], list[Trigger]]:
     return mentions, triggers
 
 
-def inter_tokens(text: str, sb: int, se: int, lo: int, hi: int) -> list[str]:
-    """Raw tokens of sentence [sb,se) strictly between char offsets lo, hi."""
-    return [
-        tok for tb, te, tok in tokenize(text[sb:se], base=sb)
-        if tb >= lo and te <= hi
-    ]
+def inter_tokens(text: str, sb: int, se: int, lo: int, hi: int,
+                 toks: list | None = None) -> list[str]:
+    """Raw tokens of sentence [sb,se) strictly between char offsets lo, hi.
+
+    ``toks`` may carry the sentence's precomputed ``tokenize(text[sb:se],
+    base=sb)`` so callers iterating adjacent mention pairs tokenize each
+    sentence once instead of once per pair."""
+    if toks is None:
+        toks = tokenize(text[sb:se], base=sb)
+    return [tok for tb, te, tok in toks if tb >= lo and te <= hi]
 
 
 MAX_CONNECTOR_TOKENS = 6

@@ -33,7 +33,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from gaia_ref.extract import split_sentences
+from gaia_ref.extract import split_sentences, tokenize
 from gaia_ref.tagging import connector_phrase, inter_tokens, tag_document
 
 _MENTION = StructType([
@@ -81,13 +81,16 @@ def _tag_one(url: str, text: str, pre: tuple | None = None) -> dict:
     for sid in sorted(by_sent):
         sml = sorted(by_sent[sid], key=lambda m: m.begin)
         sb, se = sent_spans[sid]
+        # tokenize the sentence once for all its adjacent-mention gaps
+        stoks = tokenize(text[sb:se], base=sb) if len(sml) > 1 else None
         for pos, m in enumerate(sml):
             mention_rows.append(
                 (m.sent_id, pos, m.begin, m.end, m.surface, m.coarse,
                  m.fine, m.nominal))
             if pos + 1 < len(sml):
                 cp = connector_phrase(
-                    inter_tokens(text, sb, se, m.end, sml[pos + 1].begin))
+                    inter_tokens(text, sb, se, m.end, sml[pos + 1].begin,
+                                 stoks))
                 if cp is not None:
                     gap_rows.append((sid, pos, cp[0], cp[1]))
     trig_rows = [

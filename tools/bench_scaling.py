@@ -31,6 +31,12 @@ from gaia_spark.session import get_spark
 from gaia_spark.plans.pipeline import build_triples_df
 from gaia_spark.operators.mentions import tag_flat
 
+def cpu_ticks():
+    with open("/proc/stat") as f:
+        v = list(map(int, f.readline().split()[1:]))
+    # (total, idle+iowait, steal) — steal>0 means a noisy co-tenant VM
+    return (sum(v), v[3] + v[4], v[7] if len(v) > 7 else 0)
+
 cpus = int(os.environ["SPARK_GRAFT_CPUS"])
 cdir = os.environ["SPARK_GRAFT_CORPUS"]
 spark = get_spark("scaling", cpus=cpus, shuffle_partitions=2 * cpus)
@@ -40,11 +46,17 @@ kb_e = spark.read.parquet(f"{{cdir}}/kb_entities.parquet")
 kb_a = spark.read.parquet(f"{{cdir}}/kb_aliases.parquet")
 # warmup: JVM + python workers + lexicon import
 tag_flat(pages.limit(256).repartition(2 * cpus)).count()
+c0 = cpu_ticks()
 t0 = time.perf_counter()
 n = build_triples_df(spark, pages, kb_e, kb_a).count()
 dt = time.perf_counter() - t0
+c1 = cpu_ticks()
+tot = max(1, c1[0] - c0[0])
 print("RESULT " + json.dumps({{"cpus": cpus, "secs": round(dt, 2),
-                               "triples": n}}))
+                               "triples": n,
+                               "steal_pct": round(100 * (c1[2] - c0[2]) / tot, 2),
+                               "host_busy_cores": round(
+                                   (1 - (c1[1] - c0[1]) / tot) * os.cpu_count(), 1)}}))
 spark.stop()
 """
 
@@ -76,8 +88,9 @@ def main() -> None:
             got = run_one(cpus, cdir)
             if cpus not in best or got["secs"] < best[cpus]["secs"]:
                 best[cpus] = got
-            print(f"# leg {cpus} run {r + 1}/{repeats}: "
-                  f"{got['secs']}s", flush=True)
+            print(f"# leg {cpus} run {r + 1}/{repeats}: {got['secs']}s "
+                  f"(steal {got.get('steal_pct', '?')}%, host busy "
+                  f"{got.get('host_busy_cores', '?')} cores)", flush=True)
     t_lo, t_hi = best[n_lo]["secs"], best[n_hi]["secs"]
     d_lo, d_hi = n_docs / t_lo, n_docs / t_hi
     eff = (d_hi / d_lo) / (n_hi / n_lo)
@@ -91,6 +104,13 @@ def main() -> None:
         "scaling_efficiency": round(eff, 3),
         "triples": best[n_hi]["triples"],
         "repeats": repeats,
+        # interference fingerprint of the kept (fastest) legs: on a
+        # shared VM steal>~2% or host_busy far above the leg's own
+        # core count means a co-tenant stole the denominator — rerun.
+        "steal_pct": [best[n_lo].get("steal_pct"),
+                      best[n_hi].get("steal_pct")],
+        "host_busy_cores": [best[n_lo].get("host_busy_cores"),
+                            best[n_hi].get("host_busy_cores")],
     }
     print(json.dumps(result))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
