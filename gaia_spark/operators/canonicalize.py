@@ -53,6 +53,14 @@ def canonical_triples(
             F.col("obj_fine").alias("obj_type"),
             "conf",
         )
+        # one url-keyed exchange serves BOTH the dedup and every
+        # downstream url join (cleanKB provenance, T12 lang attach):
+        # url ⊆ the dedup key, so HashPartitioning(url) satisfies the
+        # aggregate's ClusteredDistribution and Catalyst inserts no
+        # second shuffle — vs dropDuplicates alone, which would hash on
+        # all 8 columns and force the url join to re-shuffle the
+        # entire triple set.
+        .repartition(F.col("url"))
         .dropDuplicates(TRIPLE_COLS)
     )
 

@@ -229,7 +229,10 @@ def build_triples_df(
     surfaces = flat_surfaces(tagged).distinct()
     linked_s = link_mentions(surfaces, kb_entities, kb_aliases).persist(
         StorageLevel.MEMORY_AND_DISK)
-    nil = nil_clusters(linked_s)
+    # NIL clustering is already eager (CC needs actions) and its result
+    # is vocabulary-sized; localCheckpoint pins it so the blocking/
+    # verification subplan never re-executes under the cmap joins
+    nil = nil_clusters(linked_s).localCheckpoint()
     # cmap feeds BOTH the subj- and obj-side rewrites — persist it or
     # the whole NIL-clustering plan re-executes once per join side
     cmap = canonical_map(
