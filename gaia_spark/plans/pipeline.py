@@ -184,9 +184,9 @@ def build_triples_df(
 
     NOT fully lazy: NIL clustering runs eagerly at construction time
     (connected components needs actions), and three intermediates are
-    persisted MEMORY_AND_DISK and left cached for the caller — a
-    long-lived session issuing many calls should
-    ``spark.catalog.clearCache()`` between them.
+    localCheckpoint-ed (materialized, lineage truncated) and left
+    cached for the caller; the checkpoint storage is released when the
+    returned DataFrame is garbage-collected.
 
     Same operators as run_pipeline, minus the parquet materialization
     between stages.  Two scale guards that run_pipeline gets from its
@@ -197,11 +197,18 @@ def build_triples_df(
       pin T1/T2 to ONE task — files.maxPartitionBytes only splits big
       files, not small ones);
     - fan-in stages (tagged feeds T5/T6/T7; resolved feeds T4/T6/T8)
-      are persisted MEMORY_AND_DISK so the expensive Python tagging
-      runs once, not once per consumer.
+      are localCheckpoint-ed (materialize + TRUNCATE LINEAGE) so the
+      expensive Python tagging runs once, not once per consumer — and,
+      just as important, so the serialized physical plan every later
+      stage broadcasts to executors stays flat.  With plain persist()
+      the task binary still carries the FULL upstream plan (for a
+      createDataFrame input that includes the input rows themselves);
+      measured 8 MiB task binaries re-broadcast on each of ~25
+      downstream stages, dominating wall time at small scale and
+      taxing every stage at large scale.  run_pipeline gets the same
+      truncation from its parquet stage materialization; here
+      localCheckpoint is the in-session equivalent.
     """
-    from pyspark import StorageLevel
-
     from gaia_spark.operators.mentions import (
         flat_assertions,
         flat_surfaces,
@@ -217,8 +224,8 @@ def build_triples_df(
     # re-joins from the input table.  flat_mentions(tagged) IS the
     # resolved table — downstream is pure relational algebra until the
     # final write.
-    tagged = tag_flat(pages.repartition(nparts, "url"), kinds="sa").persist(
-        StorageLevel.MEMORY_AND_DISK)
+    tagged = tag_flat(pages.repartition(nparts, "url"),
+                      kinds="sa").localCheckpoint()
     # T4/T4b/T11 operate on DISTINCT SURFACES, not mention occurrences:
     # the tagger pre-dedups per doc ('s' rows), the map-side-combined
     # distinct collapses those to the corpus surface vocabulary before
@@ -227,8 +234,8 @@ def build_triples_df(
     # broadcasts back out (north_star: broadcast alias/KB dictionary;
     # AQE-aware join choice).
     surfaces = flat_surfaces(tagged).distinct()
-    linked_s = link_mentions(surfaces, kb_entities, kb_aliases).persist(
-        StorageLevel.MEMORY_AND_DISK)
+    linked_s = link_mentions(surfaces, kb_entities,
+                             kb_aliases).localCheckpoint()
     # NIL clustering is already eager (CC needs actions) and its result
     # is vocabulary-sized; localCheckpoint pins it so the blocking/
     # verification subplan never re-executes under the cmap joins
@@ -237,7 +244,7 @@ def build_triples_df(
     # the whole NIL-clustering plan re-executes once per join side
     cmap = canonical_map(
         canonicalize_mentions(linked_s, nil)
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint()
     # T6/T8/T9 were computed per-doc inside the tag_flat pass
     # (oracle-exact); the 'a' slice of the cached flat table IS the
     # assertion table — zero additional shuffles
