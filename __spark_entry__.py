@@ -842,6 +842,50 @@ def rel_connected_components(spark, sf_dir):
     return connected_components(edges)
 
 
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition filters: per-doc top-bigram character
+    fraction and duplicate-5-gram occurrence fraction (the quality
+    gates a pretraining pipeline applies before dedup)."""
+    return ta.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def dedup_chunks(spark, sf_dir):
+    """CCNet-style chunk dedup: 100-char deterministic chunks, md5,
+    corpus-wide duplicate fraction per doc (docs ∪ mirrored copies so
+    duplicates exist at every sf)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mirrored = d.select((F.col("doc_id") + 10_000_000).alias("doc_id"),
+                        "text")
+    return dd.chunk_dedup_stats(d.unionByName(mirrored))
+
+
+def web_urls(spark, sf_dir):
+    """URL parse + per-registered-domain rollup over synthesized
+    deterministic urls (documents carry no url column): host/TLD/path
+    extraction (parse_url JVM-side) then the Zipf-skew-prone
+    site-level aggregation."""
+    from gaia_spark.functions import web
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "url", web.synth_url(F.col("doc_id"), F.col("source")))
+    return web.host_rollup(web.with_url_parts(d))
+
+
+def graph_pagerank(spark, sf_dir):
+    """PageRank (3 iterations, damping 0.85) over the supplier→part
+    graph of a lineitem subset — BIGINT fixed-point (ppm) arithmetic
+    so the iterative result is bit-identical to the unrolled DuckDB
+    CTE oracle under any partitioning."""
+    from gaia_spark.operators.graph import pagerank
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    edges = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+        .alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+        .alias("dst"),
+    )
+    return pagerank(edges, iters=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational primitives (SURVEY.md §2.4)
@@ -891,6 +935,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_dup_pairs": emb_dup_pairs,
         "media_meta": media_meta,
         "media_ldcc": media_ldcc,
+        "text_repetition": text_repetition,
+        "dedup_chunks": dedup_chunks,
+        "web_urls": web_urls,
+        "graph_pagerank": graph_pagerank,
         # KG construction (rows-only; oracled by gaia_ref under pytest)
         "kg_extract_text": kg_extract_text,
         "kg_mentions": kg_mentions,
@@ -1353,4 +1401,20 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT node, min(comp) AS component FROM reach GROUP BY node
     """
+
+    sql["text_repetition"] = ta.sql_repetition_stats("documents")
+
+    sql["dedup_chunks"] = dd.sql_chunk_dedup_stats(
+        "(SELECT doc_id, text FROM documents UNION ALL "
+        "SELECT doc_id + 10000000, text FROM documents)")
+
+    from gaia_spark.functions import web as _web
+    sql["web_urls"] = _web.sql_host_rollup(
+        f"SELECT text, {_web.sql_url_parts_select('url')} FROM "
+        f"(SELECT text, {_web.sql_synth_url()} AS url FROM documents)")
+
+    from gaia_spark.operators.graph import sql_pagerank as _sql_pr
+    sql["graph_pagerank"] = _sql_pr(
+        "SELECT 's' || l_suppkey AS src, 'p' || l_partkey AS dst "
+        "FROM lineitem WHERE l_orderkey < 2000", iters=3)
     return sql

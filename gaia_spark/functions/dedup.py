@@ -341,3 +341,88 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# chunk-level exact dedup (CCNet-style paragraph dedup, deterministic
+# chunking: the corpus has no newlines, so "paragraph" = successive
+# fixed-width character chunks — the same relational shape either way)
+# ---------------------------------------------------------------------------
+
+def chunk_dedup_stats(df: DataFrame, chunk: int = 100,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Per-doc duplicated-chunk statistics against the WHOLE corpus.
+
+    Chunks = successive ``chunk``-char substrings (last one short),
+    hashed in-row (transform over a sequence — no per-chunk row until
+    the single explode).  A chunk is "duplicated" iff its md5 occurs
+    more than once corpus-wide (same-doc repeats count, as in CCNet's
+    shard-level paragraph dedup).
+
+    Two shuffles at any scale: the map-side-combined groupBy on the
+    32-byte chunk hash (corpus-wide counts) and the groupBy back on
+    doc_id.  → (doc_id, n_chunks, n_dup_chunks, dup_chunk_frac_x10k).
+    """
+    from gaia_spark.functions.text_analysis import SCALE
+
+    chunks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(
+                        F.ceil(F.length(text_col)
+                               / F.lit(chunk)).cast("int") - 1,
+                        F.lit(0)),
+                ),
+                lambda i: F.md5(F.substr(F.col(text_col),
+                                         i * chunk + 1, F.lit(chunk))),
+            )
+        ).alias("h"),
+    )
+    freq = chunks.groupBy("h").agg(F.count(F.lit(1)).alias("n_global"))
+    return (
+        chunks.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("n_global") > 1, F.lit(1))
+                  .otherwise(F.lit(0))).alias("n_dup_chunks"),
+        )
+        .select(
+            "doc_id", "n_chunks", "n_dup_chunks",
+            F.floor(F.lit(SCALE) * F.col("n_dup_chunks").cast("double")
+                    / F.col("n_chunks").cast("double"))
+            .alias("dup_chunk_frac_x10k"),
+        )
+    )
+
+
+def sql_chunk_dedup_stats(rel: str, chunk: int = 100,
+                          text_col: str = "text",
+                          id_col: str = "doc_id",
+                          where: str = "TRUE") -> str:
+    """DuckDB twin of chunk_dedup_stats."""
+    from gaia_spark.functions.text_analysis import SCALE
+
+    return f"""
+WITH chunks AS (
+  SELECT {id_col} AS doc_id,
+         md5(substr({text_col}, (i * {chunk} + 1)::INT, {chunk})) AS h
+  FROM {rel},
+       unnest(range(0, greatest(ceil(length({text_col}) / {chunk}.0)::INT
+                                - 1, 0) + 1)) AS u(i)
+  WHERE {where}
+), freq AS (
+  SELECT h, count(*) AS n_global FROM chunks GROUP BY h
+)
+SELECT doc_id, count(*)::BIGINT AS n_chunks,
+       sum(CASE WHEN n_global > 1 THEN 1 ELSE 0 END)::BIGINT
+         AS n_dup_chunks,
+       floor({SCALE} * sum(CASE WHEN n_global > 1 THEN 1 ELSE 0 END)
+             ::DOUBLE / count(*))::BIGINT AS dup_chunk_frac_x10k
+FROM chunks JOIN freq USING (h)
+GROUP BY doc_id
+"""

@@ -195,6 +195,139 @@ def winnow_fingerprints(df: DataFrame, k: int = 5, w: int = 4,
     )
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition quality filters (Rae et al. 2021 §A1.1).
+
+    Per document:
+    - ``top_bigram_frac_x10k``: fraction of characters covered by the
+      single most frequent word 2-gram (count × len(bigram) / n_chars),
+      floor-integerized; ties broken by the lexicographically LAST
+      bigram (max(struct(count, bigram)) — order-free, so identical
+      under any partitioning and in the SQL twin).
+    - ``dup_5gram_frac_x10k``: fraction of word-5-gram OCCURRENCES
+      belonging to a 5-gram that appears more than once in the doc.
+
+    Shape at scale: tokens stay inside the row (split → transform);
+    the only shuffle is the map-side-combined groupBy on
+    (doc_id, gram) — keyed by doc, so it re-uses the corpus
+    partitioning and never builds a corpus-wide gram table.  Docs too
+    short for a bigram / 5-gram get 0 (coalesced left join).
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda t: t != "")
+
+    def grams(n: int) -> Column:
+        # guard: Spark's sequence(1, 0) is DESCENDING [1, 0], not
+        # empty — docs shorter than n tokens must yield no grams
+        return F.when(
+            F.size("toks") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - n + 1),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at("toks", i + j)
+                           for j in range(n)]),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(text_col).cast("bigint").alias("n_chars"),
+        toks.alias("toks"),
+    )
+    grams2 = base.select("doc_id", F.explode(grams(2)).alias("g"))
+    grams5 = base.select("doc_id", F.explode(grams(5)).alias("g"))
+    top2 = (
+        grams2.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(F.max(F.struct("n", "g")).alias("top"))
+        .select("doc_id", F.col("top.g").alias("top_bigram"),
+                F.col("top.n").alias("top_bigram_n"))
+    )
+    dup5 = (
+        grams5.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_5grams"),
+            F.sum(F.when(F.col("n") > 1, F.col("n"))
+                  .otherwise(F.lit(0))).alias("n_dup_5grams"),
+        )
+    )
+    return (
+        base.select("doc_id", "n_chars")
+        .join(top2, "doc_id", "left")
+        .join(dup5, "doc_id", "left")
+        .select(
+            "doc_id", "n_chars",
+            F.coalesce("top_bigram", F.lit("")).alias("top_bigram"),
+            F.coalesce("top_bigram_n", F.lit(0)).cast("bigint")
+            .alias("top_bigram_n"),
+            F.floor(
+                F.lit(SCALE)
+                * F.coalesce(F.col("top_bigram_n")
+                             * F.length(F.coalesce("top_bigram",
+                                                   F.lit(""))),
+                             F.lit(0)).cast("double")
+                / F.greatest("n_chars", F.lit(1)).cast("double")
+            ).alias("top_bigram_frac_x10k"),
+            F.coalesce("n_5grams", F.lit(0)).cast("bigint")
+            .alias("n_5grams"),
+            F.floor(
+                F.lit(SCALE)
+                * F.coalesce("n_dup_5grams", F.lit(0)).cast("double")
+                / F.greatest(F.coalesce("n_5grams", F.lit(0)),
+                             F.lit(1)).cast("double")
+            ).alias("dup_5gram_frac_x10k"),
+        )
+    )
+
+
+def sql_repetition_stats(rel: str, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         where: str = "TRUE") -> str:
+    """DuckDB twin of repetition_stats (same tie-breaks, same floors)."""
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_id, length({text_col})::BIGINT AS n_chars,
+         list_filter(string_split_regex(lower({text_col}), '\\s+'),
+                     t -> t <> '') AS toks
+  FROM {rel} WHERE {where}
+), g2 AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g
+  FROM base, unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS u(i)
+), g5 AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         || ' ' || toks[i+3] || ' ' || toks[i+4] AS g
+  FROM base, unnest(range(1, greatest(len(toks) - 4, 0) + 1)) AS u(i)
+), top2 AS (
+  SELECT doc_id, max(struct_pack(n := n, g := g)) AS top
+  FROM (SELECT doc_id, g, count(*) AS n FROM g2 GROUP BY doc_id, g)
+  GROUP BY doc_id
+), dup5 AS (
+  SELECT doc_id, sum(n)::BIGINT AS n_5grams,
+         sum(CASE WHEN n > 1 THEN n ELSE 0 END)::BIGINT AS n_dup
+  FROM (SELECT doc_id, g, count(*) AS n FROM g5 GROUP BY doc_id, g)
+  GROUP BY doc_id
+)
+SELECT base.doc_id, base.n_chars,
+       coalesce(top.g, '') AS top_bigram,
+       coalesce(top.n, 0)::BIGINT AS top_bigram_n,
+       floor({SCALE} * coalesce(top.n * length(top.g), 0)::DOUBLE
+             / greatest(base.n_chars, 1))::BIGINT
+         AS top_bigram_frac_x10k,
+       coalesce(dup5.n_5grams, 0)::BIGINT AS n_5grams,
+       floor({SCALE} * coalesce(dup5.n_dup, 0)::DOUBLE
+             / greatest(coalesce(dup5.n_5grams, 0), 1))::BIGINT
+         AS dup_5gram_frac_x10k
+FROM base
+LEFT JOIN (SELECT doc_id, top.n AS n, top.g AS g FROM top2) top
+       USING (doc_id)
+LEFT JOIN dup5 USING (doc_id)
+"""
+
+
 def sql_winnow_fingerprints(rel: str, k: int = 5, w: int = 4,
                             text_col: str = "text",
                             id_col: str = "doc_id",

@@ -1,0 +1,136 @@
+"""Web-corpus URL operators: parse, normalize, aggregate by host.
+
+A Common-Crawl-style pipeline spends a lot of its relational time on
+URL columns: host extraction for per-site policies, registered-domain
+rollups for skew handling (host is THE Zipf-skewed key in web data —
+gaia_spark/functions/skew.py salts on it), TLD slices, path depth for
+boilerplate heuristics.  The KG pipeline's pages table carries real
+urls; the driver's `documents` table does not, so the ★-oracled query
+synthesizes deterministic urls from (source, doc_id) first — the parse
+and the rollup are the operators under test, and they run on any url
+string.
+
+Spark side uses ``parse_url`` (JVM built-in, whole-stage codegen);
+the DuckDB twin mirrors it with a regex that agrees on every http(s)
+url (no userinfo/port in the synthesized corpus; the twin is exact on
+the test domain, documented approximate outside it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: regex twins (Java + RE2-safe syntax; used verbatim in the oracle)
+HOST_RE = r"^[a-z]+://([^/?#]+)"
+PATH_RE = r"^[a-z]+://[^/?#]+(/[^?#]*)?"
+
+
+def synth_url(doc_id: Column, source: Column) -> Column:
+    """Deterministic synthetic url for tables that lack one."""
+    tld = F.element_at(
+        F.array(F.lit("com"), F.lit("org"), F.lit("net")),
+        (doc_id % 3 + 1).cast("int"))
+    return F.concat(
+        F.lit("https://"),
+        F.when(doc_id % 7 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lower(source), F.lit("-"), (doc_id % 50).cast("string"),
+        F.lit(".example."), tld,
+        F.lit("/p/"), (doc_id % 11).cast("string"),
+        F.when(doc_id % 2 == 0,
+               F.concat(F.lit("/item-"), doc_id.cast("string")))
+        .otherwise(F.lit("")),
+    )
+
+
+def sql_synth_url(doc_id: str = "doc_id", source: str = "source") -> str:
+    return (
+        f"'https://' || CASE WHEN {doc_id} % 7 = 0 THEN 'www.' ELSE '' END"
+        f" || lower({source}) || '-' || ({doc_id} % 50)::VARCHAR"
+        f" || '.example.' || (['com','org','net'])[({doc_id} % 3 + 1)::INT]"
+        f" || '/p/' || ({doc_id} % 11)::VARCHAR"
+        f" || CASE WHEN {doc_id} % 2 = 0 THEN '/item-' || {doc_id}::VARCHAR"
+        f" ELSE '' END"
+    )
+
+
+def with_url_parts(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """host / registered_domain / tld / path / path_depth columns.
+
+    - host: parse_url HOST (lowercased)
+    - registered_domain: last two dot-labels of the host ("example.com"
+      for "www.a.example.com") — the skew/rollup key
+    - tld: last label
+    - path_depth: number of non-empty path segments
+    """
+    u = F.col(url_col)
+    host = F.lower(F.parse_url(u, F.lit("HOST")))
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    reg = F.when(
+        n >= 2,
+        F.concat_ws(".", F.element_at(labels, n - 1),
+                    F.element_at(labels, n)),
+    ).otherwise(host)
+    path = F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit(""))
+    depth = F.size(F.filter(F.split(path, "/"), lambda s: s != ""))
+    return (
+        df.withColumn("host", host)
+        .withColumn("registered_domain", reg)
+        .withColumn("tld", F.element_at(labels, n))
+        .withColumn("path", path)
+        .withColumn("path_depth", depth.cast("bigint"))
+    )
+
+
+def sql_url_parts_select(url: str = "url") -> str:
+    """SELECT-list fragment mirroring with_url_parts (DuckDB)."""
+    host = f"lower(regexp_extract({url}, '{HOST_RE}', 1))"
+    labels = f"string_split({host}, '.')"
+    path = f"coalesce(regexp_extract({url}, '{PATH_RE}', 1), '')"
+    return (
+        f"{host} AS host, "
+        f"CASE WHEN len({labels}) >= 2 THEN "
+        f"  {labels}[-2] || '.' || {labels}[-1] ELSE {host} END"
+        f"  AS registered_domain, "
+        f"{labels}[-1] AS tld, "
+        f"{path} AS path, "
+        f"len(list_filter(string_split({path}, '/'), s -> s <> ''))"
+        f"::BIGINT AS path_depth"
+    )
+
+
+def host_rollup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-registered-domain corpus stats: the site-level policy table.
+
+    One map-side-combined shuffle keyed by registered_domain; at web
+    scale this key is Zipf-skewed, which is exactly what AQE skew
+    handling + skew.py salting are for (partial aggregation makes the
+    skew harmless here — each mapper emits one partial per domain).
+    """
+    return (
+        df.groupBy("registered_domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("host").alias("n_hosts"),
+            F.sum(F.length(text_col)).alias("total_chars"),
+            F.max("path_depth").alias("max_path_depth"),
+            F.sum(F.when(F.col("host").startswith("www."), F.lit(1))
+                  .otherwise(F.lit(0))).alias("n_www"),
+        )
+    )
+
+
+def sql_host_rollup(inner: str, text_col: str = "text") -> str:
+    """DuckDB twin over an ``inner`` relation providing url parts."""
+    return f"""
+SELECT registered_domain,
+       count(*)::BIGINT AS n_docs,
+       count(DISTINCT host)::BIGINT AS n_hosts,
+       sum(length({text_col}))::BIGINT AS total_chars,
+       max(path_depth)::BIGINT AS max_path_depth,
+       sum(CASE WHEN starts_with(host, 'www.') THEN 1 ELSE 0 END)
+         ::BIGINT AS n_www
+FROM ({inner})
+GROUP BY registered_domain
+"""

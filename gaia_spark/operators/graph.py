@@ -125,3 +125,92 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+# ---------------------------------------------------------------------------
+# PageRank — fixed-point integer arithmetic, cross-engine exact
+# ---------------------------------------------------------------------------
+
+#: rank unit: 1.0 == 1_000_000 ppm (parts-per-million)
+PPM = 1_000_000
+DAMPING_X100 = 85
+
+
+def pagerank(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """PageRank over ``edges(src, dst)``, K fixed iterations.
+
+    All arithmetic is BIGINT fixed-point (ppm units) so every engine
+    and every partitioning produces the SAME bits: contribution =
+    rank DIV out_degree (integer floor division), damping = (85 × sum)
+    DIV 100, base = 150_000 ppm.  Floating-point PageRank sums in
+    non-deterministic order and can flip a rounded digit between runs;
+    integer sums are associative-exact, which is what makes a DuckDB
+    oracle (unrolled recursive CTE) hash-identical.
+
+    Dangling nodes keep receiving the base term and leak their own
+    mass (no redistribution) — the common "PageRank-without-dangling"
+    variant, pinned identically in the SQL twin.
+
+    Scale shape: one shuffle per iteration (contribs groupBy dst) plus
+    the rank join keyed on node — the Pregel pattern.  Each iteration
+    joins against the SAME edge partitioning, so on a real cluster the
+    edge table should be bucketed by src; lineage is truncated per
+    iteration so the plan stays flat at any K.
+    """
+    sym = edges.select("src", "dst").distinct().localCheckpoint()
+    nodes = (
+        sym.select(F.col("src").alias("node"))
+        .unionByName(sym.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    rank = nodes.withColumn(
+        "rank_ppm", F.lit(PPM).cast("bigint")).localCheckpoint()
+    base = PPM - PPM * DAMPING_X100 // 100
+    for _ in range(iters):
+        contribs = (
+            sym.join(rank, sym.src == rank.node)
+            .join(outdeg, "src")
+            .select(F.col("dst").alias("node"),
+                    F.expr("rank_ppm div outdeg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        rank = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (F.lit(base).cast("bigint")
+                 + F.expr(f"({DAMPING_X100} * coalesce(contrib, 0))"
+                          " div 100")).alias("rank_ppm"),
+            )
+            .localCheckpoint()
+        )
+    return rank
+
+
+def sql_pagerank(edges_sql: str, iters: int = 3) -> str:
+    """DuckDB twin: the same K iterations unrolled as CTEs."""
+    base = PPM - PPM * DAMPING_X100 // 100
+    ctes = [
+        f"edges AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        "nodes AS (SELECT src AS node FROM edges "
+        "UNION SELECT dst FROM edges)",
+        "outdeg AS (SELECT src, count(*) AS outdeg FROM edges "
+        "GROUP BY src)",
+        f"r0 AS (SELECT node, {PPM}::BIGINT AS rank_ppm FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"c{i} AS (SELECT e.dst AS node, "
+            f"sum(r.rank_ppm // o.outdeg)::BIGINT AS contrib "
+            f"FROM edges e JOIN r{i-1} r ON e.src = r.node "
+            f"JOIN outdeg o ON e.src = o.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT n.node, ({base} + {DAMPING_X100} * "
+            f"coalesce(c.contrib, 0) // 100)::BIGINT AS rank_ppm "
+            f"FROM nodes n LEFT JOIN c{i} c USING (node))"
+        )
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, rank_ppm FROM r{iters}")

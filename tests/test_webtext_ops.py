@@ -1,0 +1,149 @@
+"""Hand-computed fixtures for the round-2 webtext operators:
+repetition filters, chunk dedup, URL parsing, fixed-point PageRank.
+
+The DuckDB cross-engine check is the driver's job (selfcheck /
+CORRECTNESS); these tests pin the SEMANTICS against values computed
+by hand, so an agreeing-but-wrong twin pair cannot slip through.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gaia_spark.functions.dedup import chunk_dedup_stats
+from gaia_spark.functions.text_analysis import repetition_stats
+from gaia_spark.functions.web import synth_url, with_url_parts
+from gaia_spark.operators.graph import PPM, pagerank
+
+
+def _rows(df):
+    return {r["doc_id"]: r.asDict() for r in df.collect()}
+
+
+class TestRepetition:
+    def test_top_bigram(self, spark):
+        # "a b a b a b": bigrams a·b ×3, b·a ×2 → top "a b" (3 hits,
+        # 3 chars) over 11 chars → floor(1e4*9/11) = 8181
+        df = spark.createDataFrame(
+            [(1, "a b a b a b")], "doc_id long, text string")
+        got = _rows(repetition_stats(df))[1]
+        assert got["top_bigram"] == "a b"
+        assert got["top_bigram_n"] == 3
+        assert got["top_bigram_frac_x10k"] == 8181
+
+    def test_dup_5gram_frac(self, spark):
+        # 12 tokens "w x y z q" repeated twice + filler gives 8
+        # 5-grams, of which the 2 occurrences of (w x y z q) repeat
+        text = "w x y z q w x y z q r s"
+        df = spark.createDataFrame([(1, text)],
+                                   "doc_id long, text string")
+        got = _rows(repetition_stats(df))[1]
+        assert got["n_5grams"] == 8
+        # duplicated 5-gram occurrences: "w x y z q" appears twice
+        assert got["dup_5gram_frac_x10k"] == 10_000 * 2 // 8
+
+    def test_short_doc_zeroes(self, spark):
+        df = spark.createDataFrame(
+            [(1, "solo"), (2, "")], "doc_id long, text string")
+        got = _rows(repetition_stats(df))
+        for d in (1, 2):
+            assert got[d]["top_bigram"] == ""
+            assert got[d]["top_bigram_frac_x10k"] == 0
+            assert got[d]["dup_5gram_frac_x10k"] == 0
+
+    def test_tiebreak_is_lexicographic_max(self, spark):
+        # "x y x y q q q": bigrams x·y ×2, y·x ×1, y·q ×1, q·q ×2 —
+        # tie between "x y" and "q q" → max(struct(n, g)) picks "x y"
+        df = spark.createDataFrame(
+            [(1, "x y x y q q q")], "doc_id long, text string")
+        assert _rows(repetition_stats(df))[1]["top_bigram"] == "x y"
+
+
+class TestChunkDedup:
+    def test_shared_and_unique_chunks(self, spark):
+        shared = "s" * 100
+        df = spark.createDataFrame(
+            [(1, shared + "a" * 100), (2, shared + "b" * 40)],
+            "doc_id long, text string")
+        got = _rows(chunk_dedup_stats(df))
+        assert got[1]["n_chunks"] == 2 and got[1]["n_dup_chunks"] == 1
+        assert got[1]["dup_chunk_frac_x10k"] == 5000
+        assert got[2]["n_chunks"] == 2 and got[2]["n_dup_chunks"] == 1
+
+    def test_within_doc_repeat_counts(self, spark):
+        df = spark.createDataFrame(
+            [(1, "r" * 200)], "doc_id long, text string")
+        got = _rows(chunk_dedup_stats(df))[1]
+        # both chunks identical → both duplicated
+        assert got["n_chunks"] == 2 and got["n_dup_chunks"] == 2
+        assert got["dup_chunk_frac_x10k"] == 10_000
+
+    def test_empty_doc_one_empty_chunk(self, spark):
+        df = spark.createDataFrame(
+            [(1, ""), (2, "")], "doc_id long, text string")
+        got = _rows(chunk_dedup_stats(df))
+        assert got[1]["n_chunks"] == 1
+        assert got[1]["n_dup_chunks"] == 1  # both docs hash md5('')
+
+
+class TestUrlParts:
+    def test_parse_fields(self, spark):
+        df = spark.createDataFrame(
+            [(1, "https://www.news.example.com/p/4/item-1")],
+            "doc_id long, url string")
+        r = with_url_parts(df).collect()[0]
+        assert r["host"] == "www.news.example.com"
+        assert r["registered_domain"] == "example.com"
+        assert r["tld"] == "com"
+        assert r["path"] == "/p/4/item-1"
+        assert r["path_depth"] == 3
+
+    def test_synth_url_deterministic(self, spark):
+        df = spark.createDataFrame(
+            [(14, "Web"), (15, "Web")], "doc_id long, source string")
+        got = {r["doc_id"]: r["u"] for r in df.select(
+            "doc_id", synth_url(F.col("doc_id"),
+                                F.col("source")).alias("u")).collect()}
+        assert got[14] == "https://www.web-14.example.net/p/3/item-14"
+        assert got[15] == "https://web-15.example.com/p/4"
+
+
+class TestPagerank:
+    def test_two_node_chain_by_hand(self, spark):
+        # a -> b, 1 iteration: r(a)=150000;
+        # r(b)=150000 + 85*(1000000 div 1) div 100 = 1000000
+        edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+        got = {r["node"]: r["rank_ppm"]
+               for r in pagerank(edges, iters=1).collect()}
+        assert got["a"] == 150_000
+        assert got["b"] == 1_000_000
+
+    def test_cycle_conserves_rank(self, spark):
+        # 3-cycle: every node keeps exactly PPM at every iteration
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a")],
+            "src string, dst string")
+        got = {r["node"]: r["rank_ppm"]
+               for r in pagerank(edges, iters=3).collect()}
+        assert got == {"a": PPM, "b": PPM, "c": PPM}
+
+    def test_split_outdegree(self, spark):
+        # a -> b and a -> c: each gets 1000000 div 2 = 500000
+        # r(b) = 150000 + 85*500000 div 100 = 575000
+        edges = spark.createDataFrame(
+            [("a", "b"), ("a", "c")], "src string, dst string")
+        got = {r["node"]: r["rank_ppm"]
+               for r in pagerank(edges, iters=1).collect()}
+        assert got["b"] == got["c"] == 575_000
+
+    def test_partition_invariance(self, spark):
+        import random
+        rng = random.Random(7)
+        rows = [(f"n{rng.randrange(40)}", f"n{rng.randrange(40)}")
+                for _ in range(120)]
+        edges = spark.createDataFrame(rows, "src string, dst string")
+        one = sorted(map(tuple, pagerank(edges.coalesce(1)).collect()))
+        many = sorted(map(tuple, pagerank(
+            edges.repartition(13)).collect()))
+        assert one == many
