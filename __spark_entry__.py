@@ -870,6 +870,29 @@ def web_urls(spark, sf_dir):
     return web.host_rollup(web.with_url_parts(d))
 
 
+#: mixture weights for sample_mixture (basis points per source)
+_MIX_RATES = {"src0": 8000, "src1": 500, "src2": 2500}
+_MIX_DEFAULT = 1000
+
+
+def sample_mixture(spark, sf_dir):
+    """Deterministic per-source weighted sampling (mixture weights):
+    md5 hash-gate keeps an exact, engine- and partitioning-independent
+    fraction per source — a pure pushed-down filter, zero shuffles
+    (Spark's seeded sample() changes with partitioning; this is the
+    reproducible contract a training-data pipeline needs).  Returns
+    the per-source sampled doc counts + kept ids hash."""
+    from gaia_spark.functions import sampling as sp
+    d = sp.mixture_sample(_t(spark, sf_dir, "documents"),
+                          _MIX_RATES, _MIX_DEFAULT)
+    return (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"),
+             F.sum("doc_id").alias("sum_ids"),
+             F.sum(F.length("text")).alias("sum_chars"))
+    )
+
+
 def graph_pagerank(spark, sf_dir):
     """PageRank (3 iterations, damping 0.85) over the supplier→part
     graph of a lineitem subset — BIGINT fixed-point (ppm) arithmetic
@@ -939,6 +962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_chunks": dedup_chunks,
         "web_urls": web_urls,
         "graph_pagerank": graph_pagerank,
+        "sample_mixture": sample_mixture,
         # KG construction (rows-only; oracled by gaia_ref under pytest)
         "kg_extract_text": kg_extract_text,
         "kg_mentions": kg_mentions,
@@ -1412,6 +1436,16 @@ def oracle_sql() -> dict[str, str]:
     sql["web_urls"] = _web.sql_host_rollup(
         f"SELECT text, {_web.sql_url_parts_select('url')} FROM "
         f"(SELECT text, {_web.sql_synth_url()} AS url FROM documents)")
+
+    from gaia_spark.functions import sampling as _sp
+    sql["sample_mixture"] = f"""
+        SELECT source, count(*)::BIGINT AS n_kept,
+               sum(doc_id)::BIGINT AS sum_ids,
+               sum(length(text))::BIGINT AS sum_chars
+        FROM documents
+        WHERE {_sp.sql_mixture_sample_where(_MIX_RATES, _MIX_DEFAULT)}
+        GROUP BY source
+    """
 
     from gaia_spark.operators.graph import sql_pagerank as _sql_pr
     sql["graph_pagerank"] = _sql_pr(

@@ -1,0 +1,73 @@
+"""Deterministic corpus sampling — reproducible at any scale.
+
+Training-data pipelines need samples that are (a) reproducible across
+runs/engines/cluster sizes, (b) shuffle-free (a sample must not cost a
+repartition of 10^12 rows), and (c) per-source weighted (mixture
+weights: oversample books, downsample boilerplate web).  Spark's
+``df.sample``/``sampleBy`` are seeded per-partition, so their output
+changes with partitioning — unusable as a contract.  Hash-gate
+sampling fixes all three: keep a row iff
+``md5(stable_key) mod 10^4 < rate_x10k``, a pure column predicate that
+pushes into the scan, never shuffles, and produces the identical
+sample in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: rate denominator (rates are expressed in basis points, 0..10000)
+RATE_DEN = 10_000
+
+
+def hash_gate(key: Column, rate_x10k: Column | int) -> Column:
+    """TRUE for the deterministic ``rate_x10k``/10000 fraction of keys.
+
+    Gate value = first 8 md5 hex chars as an integer, mod 10^4 —
+    uniform over keys, engine-independent, partitioning-independent.
+    """
+    gate = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
+    rate = (F.lit(rate_x10k) if isinstance(rate_x10k, int)
+            else rate_x10k)
+    return (gate % RATE_DEN) < rate
+
+
+def sql_hash_gate(key: str, rate_x10k: str) -> str:
+    """DuckDB twin of hash_gate."""
+    return (f"(('0x' || substr(md5({key}), 1, 8))::BIGINT % {RATE_DEN})"
+            f" < ({rate_x10k})")
+
+
+def mixture_sample(df: DataFrame, rates_x10k: dict[str, int],
+                   default_x10k: int,
+                   source_col: str = "source",
+                   key_col: str = "doc_id") -> DataFrame:
+    """Per-source weighted deterministic sample (mixture weights).
+
+    ``rates_x10k`` maps source → basis-point keep rate; unlisted
+    sources use ``default_x10k``.  The gate key is
+    ``source || ':' || key`` so per-source samples are independent.
+    Pure filter — no shuffle, pushes below any downstream agg.
+    """
+    rate = F.lit(default_x10k)
+    for src in sorted(rates_x10k):
+        rate = F.when(F.col(source_col) == src,
+                      F.lit(rates_x10k[src])).otherwise(rate)
+    key = F.concat_ws(":", F.col(source_col),
+                      F.col(key_col).cast("string"))
+    return df.filter(hash_gate(key, rate))
+
+
+def sql_mixture_sample_where(rates_x10k: dict[str, int],
+                             default_x10k: int,
+                             source_col: str = "source",
+                             key_col: str = "doc_id") -> str:
+    """DuckDB WHERE fragment matching mixture_sample."""
+    whens = " ".join(
+        f"WHEN {source_col} = '{src}' THEN {rates_x10k[src]}"
+        for src in sorted(rates_x10k)
+    )
+    rate = f"CASE {whens} ELSE {default_x10k} END"
+    key = f"{source_col} || ':' || {key_col}::VARCHAR"
+    return sql_hash_gate(key, rate)

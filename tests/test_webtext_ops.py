@@ -147,3 +147,35 @@ class TestPagerank:
         many = sorted(map(tuple, pagerank(
             edges.repartition(13)).collect()))
         assert one == many
+
+
+class TestHashSampling:
+    def test_partition_invariance_and_rate(self, spark):
+        from gaia_spark.functions.sampling import mixture_sample
+        rows = [(i, f"src{i % 3}") for i in range(3000)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        rates = {"src0": 5000, "src1": 0}
+        one = sorted(r["doc_id"] for r in mixture_sample(
+            df.coalesce(1), rates, 1000).collect())
+        many = sorted(r["doc_id"] for r in mixture_sample(
+            df.repartition(17), rates, 1000).collect())
+        assert one == many                       # partitioning-proof
+        by_src = {}
+        for i in one:
+            by_src.setdefault(i % 3, []).append(i)
+        assert 1 not in by_src                   # rate 0 keeps nothing
+        assert 400 <= len(by_src[0]) <= 600      # ~50% of 1000
+        assert 60 <= len(by_src[2]) <= 140       # default 10% of 1000
+
+    def test_gate_pushes_to_scan(self, spark, tmp_path):
+        from gaia_spark.functions.sampling import hash_gate
+        from pyspark.sql import functions as F
+        p = str(tmp_path / "t.parquet")
+        spark.range(100).selectExpr(
+            "id AS doc_id", "'x' AS source").write.parquet(p)
+        df = spark.read.parquet(p)
+        plan = df.filter(hash_gate(
+            F.col("doc_id").cast("string"), 5000))._jdf \
+            .queryExecution().executedPlan().toString()
+        # no Exchange anywhere: the sample is a pure scan-level filter
+        assert "Exchange" not in plan
