@@ -65,18 +65,26 @@ def event_coref_edges(events: DataFrame) -> DataFrame:
     → (src, dst) with src < dst, distinct.  Blocked self-join on
     (pred, arg); df-capped per MAX_ARG_BLOCK (module docstring).
     """
-    args = events.select(
-        "evt_uid", "pred",
-        F.explode(F.array("subj", "obj")).alias("arg"),
-    ).distinct()
-    keep = (
-        args.groupBy("pred", "arg")
-        .agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("pred", "arg")
+    blocked = (
+        events.select(
+            "evt_uid", "pred",
+            F.explode(F.array("subj", "obj")).alias("arg"),
+        )
+        .distinct()
+        # df-cap via a window count over the block key (one shuffle,
+        # the same key the self-join uses), checkpointed so the
+        # posting build runs once, not once per join side
+        .withColumn("n", F.count(F.lit(1)).over(w))
         .filter(F.col("n") <= MAX_ARG_BLOCK)
-        .select("pred", "arg")
+        .drop("n")
+        .localCheckpoint()
     )
-    blocked = args.join(keep, ["pred", "arg"])
     a, b = blocked.alias("a"), blocked.alias("b")
+    # no distinct here: a pair sharing both subj and obj yields the
+    # edge twice; the CC kernel's symmetric-edge distinct dedups
     return (
         a.join(b, ["pred", "arg"])
         .filter(F.col("a.evt_uid") < F.col("b.evt_uid"))
@@ -84,7 +92,6 @@ def event_coref_edges(events: DataFrame) -> DataFrame:
             F.col("a.evt_uid").alias("src"),
             F.col("b.evt_uid").alias("dst"),
         )
-        .distinct()
     )
 
 

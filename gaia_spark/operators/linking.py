@@ -124,16 +124,24 @@ def nil_clusters(linked: DataFrame) -> DataFrame:
         .select("coarse", "link_norm")
         .distinct()
     )
-    blocks = keys.mapInPandas(_blocking_batches, schema=_BLOCK_SCHEMA)
-    # cap pathological blocks before the quadratic self-join
-    block_sizes = blocks.groupBy("coarse", "block_key").count()
+    # cap pathological blocks before the quadratic self-join — a window
+    # count over the block key (one shuffle; same key the self-join
+    # needs anyway), then localCheckpoint so the Python blocking pass
+    # runs ONCE, not once per self-join side
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("coarse", "block_key")
     blocks = (
-        blocks.join(
-            block_sizes.filter(F.col("count") <= MAX_BLOCK_SIZE),
-            ["coarse", "block_key"],
-        ).drop("count")
+        keys.mapInPandas(_blocking_batches, schema=_BLOCK_SCHEMA)
+        .withColumn("bs", F.count(F.lit(1)).over(w))
+        .filter(F.col("bs") <= MAX_BLOCK_SIZE)
+        .drop("bs")
+        .localCheckpoint()
     )
     a, b = blocks.alias("a"), blocks.alias("b")
+    # no pre-verify distinct: a pair sharing several bands is verified
+    # k times (cheap columnar filter); the CC kernel's symmetric-edge
+    # distinct dedups — one less vocabulary-sized shuffle
     pairs = (
         a.join(
             b,
@@ -148,7 +156,6 @@ def nil_clusters(linked: DataFrame) -> DataFrame:
             F.col("a.link_norm").alias("n1"),
             F.col("b.link_norm").alias("n2"),
         )
-        .distinct()
     )
     verified = pairs.filter(
         _containment_col(F.col("n1"), F.col("n2"))
