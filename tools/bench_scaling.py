@@ -64,9 +64,17 @@ spark.stop()
 def run_one(cpus: int, cdir: str) -> dict:
     env = dict(os.environ,
                SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_CORPUS=cdir)
+    # pin the WHOLE process tree (JVM + Python workers) to exactly
+    # `cpus` hardware cores — the faithful N-core-executor proxy.
+    # Unpinned, a local[4] leg borrows extra cores for JVM shuffle /
+    # Arrow / GC threads (measured host-busy 4.5 cores on a "4-core"
+    # leg), flattering the small leg and corrupting the N->4N ratio.
+    cmd = [sys.executable, "-c", RUNNER.format(repo=REPO)]
+    if os.environ.get("SPARK_GRAFT_PIN", "1") == "1":
+        cmd = ["taskset", "-ac", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, "-c", RUNNER.format(repo=REPO)],
-        env=env, capture_output=True, text=True, check=True, cwd=REPO)
+        cmd, env=env, capture_output=True, text=True, check=True,
+        cwd=REPO)
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
@@ -116,16 +124,20 @@ def main() -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     path = os.path.join(REPO, "BENCH", "SCALING.md")
     new = not os.path.exists(path)
+    pinned = ("pinned" if os.environ.get("SPARK_GRAFT_PIN", "1") == "1"
+              else "UNPINNED")
     with open(path, "a") as f:
         if new:
             f.write("# Scaling probe: local[N] vs local[4N] "
                     "(N vs 4N executors proxy)\n\n"
-                    "| docs | cores | T(N) s | docs/s @N | T(4N) s | "
-                    "docs/s @4N | speedup | efficiency |\n"
+                    "| when | kernel | docs | cores | T(N) s | T(4N) s "
+                    "| eff | interference |\n"
                     "|---|---|---|---|---|---|---|---|\n")
-        f.write(f"| {n_docs} | {n_lo}->{n_hi} | {t_lo} | {round(d_lo,1)} "
-                f"| {t_hi} | {round(d_hi,1)} | {round(t_lo/t_hi,2)}x | "
-                f"{round(eff,3)} |\n")
+        f.write(f"| probe | {pinned} | {n_docs} | {n_lo}->{n_hi} "
+                f"| {t_lo} | {t_hi} | {round(eff, 3)} "
+                f"| steal {result['steal_pct']}%, host-busy "
+                f"{result['host_busy_cores']} cores, min-of-"
+                f"{repeats} |\n")
 
 
 if __name__ == "__main__":
