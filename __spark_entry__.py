@@ -893,6 +893,22 @@ def sample_mixture(spark, sf_dir):
     )
 
 
+def text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (C4/Dolma hygiene): flag training
+    docs sharing any word 8-gram with a held-out eval set.  Eval set =
+    docs with doc_id % 97 == 0; corpus additionally carries a mirrored
+    copy of the eval docs so guaranteed-contaminated rows exist at
+    every sf.  Eval fingerprints broadcast; corpus side adds zero
+    corpus-wide exchanges."""
+    from gaia_spark.functions import decontaminate as dc
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.unionByName(
+        ev.select((F.col("doc_id") + 20_000_000).alias("doc_id"),
+                  "text"))
+    return dc.contamination_stats(corpus, ev)
+
+
 def graph_pagerank(spark, sf_dir):
     """PageRank (3 iterations, damping 0.85) over the supplier→part
     graph of a lineitem subset — BIGINT fixed-point (ppm) arithmetic
@@ -960,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_ldcc": media_ldcc,
         "text_repetition": text_repetition,
         "dedup_chunks": dedup_chunks,
+        "text_decontaminate": text_decontaminate,
         "web_urls": web_urls,
         "graph_pagerank": graph_pagerank,
         "sample_mixture": sample_mixture,
@@ -1431,6 +1448,13 @@ def oracle_sql() -> dict[str, str]:
     sql["dedup_chunks"] = dd.sql_chunk_dedup_stats(
         "(SELECT doc_id, text FROM documents UNION ALL "
         "SELECT doc_id + 10000000, text FROM documents)")
+
+    from gaia_spark.functions import decontaminate as _dc
+    sql["text_decontaminate"] = _dc.sql_contamination_stats(
+        "(SELECT doc_id, text FROM documents UNION ALL "
+        "SELECT doc_id + 20000000 AS doc_id, text FROM documents "
+        "WHERE doc_id % 97 = 0)",
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0)")
 
     from gaia_spark.functions import web as _web
     sql["web_urls"] = _web.sql_host_rollup(

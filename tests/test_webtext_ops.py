@@ -179,3 +179,50 @@ class TestHashSampling:
             .queryExecution().executedPlan().toString()
         # no Exchange anywhere: the sample is a pure scan-level filter
         assert "Exchange" not in plan
+
+
+class TestDecontaminate:
+    def _stats(self, spark, docs, ev, n=4):
+        from gaia_spark.functions.decontaminate import contamination_stats
+        ddf = spark.createDataFrame(docs, "doc_id bigint, text string")
+        edf = spark.createDataFrame(ev, "doc_id bigint, text string")
+        return _rows(contamination_stats(ddf, edf, n=n))
+
+    def test_planted_overlap(self, spark):
+        ev = [(100, "a b c d e f")]            # 4-grams: abcd bcde cdef
+        docs = [
+            (1, "x y a b c d z w"),            # contains "a b c d"
+            (2, "p q r s t u v"),              # clean
+            (3, "a b c"),                      # too short: 0 grams
+        ]
+        got = self._stats(spark, docs, ev)
+        assert got[1]["contaminated"] and got[1]["n_hits"] == 1
+        assert got[1]["n_grams"] == 5
+        assert got[1]["hit_frac_x10k"] == 2000  # floor(1e4 * 1/5)
+        assert not got[2]["contaminated"] and got[2]["n_hits"] == 0
+        assert got[3]["n_grams"] == 0 and not got[3]["contaminated"]
+
+    def test_distinct_gram_counting(self, spark):
+        # repeated gram in one doc counts once (distinct semantics)
+        ev = [(100, "a a a a")]
+        docs = [(1, "a a a a a a")]            # 3 occurrences of "a a a a"
+        got = self._stats(spark, docs, ev)
+        assert got[1]["n_grams"] == 1 and got[1]["n_hits"] == 1
+        assert got[1]["hit_frac_x10k"] == 10000
+
+    def test_case_and_whitespace_normalized(self, spark):
+        ev = [(100, "The  Quick\tBrown Fox")]
+        docs = [(1, "the quick brown fox jumps")]
+        got = self._stats(spark, docs, ev)
+        assert got[1]["contaminated"]
+
+    def test_no_corpus_wide_exchange(self, spark):
+        from gaia_spark.functions.decontaminate import contamination_stats
+        ddf = spark.range(50).selectExpr(
+            "id AS doc_id",
+            "concat('tok', id, ' a b c d e f g h i j') AS text")
+        edf = ddf.limit(3)
+        plan = contamination_stats(ddf, edf)._jdf \
+            .queryExecution().executedPlan().toString()
+        # eval side must reach the membership join as a broadcast
+        assert "BroadcastHashJoin" in plan
