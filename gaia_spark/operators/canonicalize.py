@@ -33,7 +33,17 @@ def canonical_map(canon_mentions: DataFrame) -> DataFrame:
 def canonical_triples(
     assertions: DataFrame, cmap: DataFrame
 ) -> DataFrame:
-    """relation/event rows → deduplicated canonical triple rows."""
+    """relation/event rows → deduplicated canonical triple rows.
+
+    If ``assertions`` carries a ``lang`` column (the tagger passes the
+    page language through — see TAG_FLAT_SCHEMA), the dedup keeps
+    ``min(lang)`` per triple and the output needs NO post-hoc lang
+    re-attach join.  For recrawled urls whose copies disagree on lang
+    this is the min over the copies that produced the triple (vs the
+    min over all copies a corpus-wide re-attach would give) — both are
+    deterministic; the carried form saves a full-corpus join + sort at
+    10^12-doc scale.
+    """
     subj_map = cmap.select(
         F.col("coarse").alias("subj_coarse"),
         F.col("link_norm").alias("subj_norm"),
@@ -44,7 +54,8 @@ def canonical_triples(
         F.col("link_norm").alias("obj_norm"),
         F.col("canonical").alias("obj"),
     )
-    return (
+    with_lang = "lang" in assertions.columns
+    joined = (
         assertions.join(subj_map, ["subj_coarse", "subj_norm"])
         .join(obj_map, ["obj_coarse", "obj_norm"])
         .select(
@@ -52,6 +63,7 @@ def canonical_triples(
             F.col("subj_fine").alias("subj_type"),
             F.col("obj_fine").alias("obj_type"),
             "conf",
+            *(["lang"] if with_lang else []),
         )
         # one url-keyed exchange serves BOTH the dedup and every
         # downstream url join (cleanKB provenance, T12 lang attach):
@@ -61,8 +73,13 @@ def canonical_triples(
         # all 8 columns and force the url join to re-shuffle the
         # entire triple set.
         .repartition(F.col("url"))
-        .dropDuplicates(TRIPLE_COLS)
     )
+    if with_lang:
+        # groupBy+min, not dropDuplicates: duplicates from recrawled
+        # urls may disagree on lang, and "keep first" would be
+        # partitioning-dependent
+        return joined.groupBy(TRIPLE_COLS).agg(F.min("lang").alias("lang"))
+    return joined.dropDuplicates(TRIPLE_COLS)
 
 
 def graph_nodes(canon_mentions: DataFrame) -> DataFrame:

@@ -236,9 +236,16 @@ TAG_FLAT_SCHEMA = StructType([
     StructField("obj_norm", StringType(), True),
     StructField("obj_coarse", StringType(), True),
     StructField("obj_fine", StringType(), True),
+    # carried through from the input when it has a `lang` column
+    # (null otherwise): lets canonical_triples keep T12's language
+    # tag WITHOUT the full-corpus lang_map join + sort-merge that a
+    # post-hoc re-attach costs (at 10^12 docs that join is the single
+    # most expensive non-kernel stage)
+    StructField("lang", StringType(), True),
 ])
 
 _FLAT_COLS = [f.name for f in TAG_FLAT_SCHEMA.fields]
+_FLAT_COLS_NOLANG = _FLAT_COLS[:-1]
 _PAD = (None, None, None, None)  # pred..obj_fine for non-assertion rows
 
 
@@ -291,19 +298,31 @@ def _flat_rows(url: str, text: str, kinds: str = "mtga") -> list[tuple]:
     return rows
 
 
-def _tag_flat_batches(kinds: str, from_text: bool):
+def _tag_flat_batches(kinds: str, from_text: bool, with_lang: bool):
+    import numpy as np
+
     from gaia_ref.extract import extract_text
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows: list[tuple] = []
+            lens: list[int] = []
             if from_text:
                 for u, t in zip(pdf["url"], pdf["text"]):
-                    rows.extend(_flat_rows(u, t or "", kinds))
+                    r = _flat_rows(u, t or "", kinds)
+                    rows.extend(r)
+                    lens.append(len(r))
             else:
                 for u, h in zip(pdf["url"], pdf["html"]):
-                    rows.extend(_flat_rows(u, extract_text(h), kinds))
-            yield pd.DataFrame(rows, columns=_FLAT_COLS)
+                    r = _flat_rows(u, extract_text(h), kinds)
+                    rows.extend(r)
+                    lens.append(len(r))
+            out = pd.DataFrame(rows, columns=_FLAT_COLS_NOLANG)
+            # vectorized per-doc lang fan-out — no per-row Python
+            out["lang"] = (
+                np.repeat(pdf["lang"].to_numpy(), lens)
+                if with_lang else None)
+            yield out
 
     return run
 
@@ -321,8 +340,11 @@ def tag_flat(pages: DataFrame, kinds: str = "mtga",
     from ``html``.
     """
     src = "text" if from_text else "html"
-    return pages.select("url", src).mapInPandas(
-        _tag_flat_batches(kinds, from_text), schema=TAG_FLAT_SCHEMA)
+    with_lang = "lang" in pages.columns
+    cols = ["url", src] + (["lang"] if with_lang else [])
+    return pages.select(*cols).mapInPandas(
+        _tag_flat_batches(kinds, from_text, with_lang),
+        schema=TAG_FLAT_SCHEMA)
 
 
 def flat_mentions(flat: DataFrame) -> DataFrame:
@@ -348,15 +370,19 @@ def flat_surfaces(flat: DataFrame) -> DataFrame:
     return flat.filter(F.col("kind") == "s").select("coarse", "link_norm")
 
 
-def flat_assertions(flat: DataFrame) -> DataFrame:
+def flat_assertions(flat: DataFrame, with_lang: bool = False) -> DataFrame:
     """kind='a' slice == relation∪event rows in the assertion schema
-    consumed by canonical_triples (subj side from coarse/fine/link_norm)."""
+    consumed by canonical_triples (subj side from coarse/fine/link_norm).
+
+    ``with_lang=True`` keeps the carried page language so downstream
+    canonicalization needs no corpus-wide lang re-attach join."""
     return flat.filter(F.col("kind") == "a").select(
         "url", "sent_id",
         F.col("link_norm").alias("subj_norm"),
         F.col("coarse").alias("subj_coarse"),
         F.col("fine").alias("subj_fine"),
-        "pred", "obj_norm", "obj_coarse", "obj_fine", "conf")
+        "pred", "obj_norm", "obj_coarse", "obj_fine", "conf",
+        *(["lang"] if with_lang else []))
 
 
 def mentions_df(tagged: DataFrame) -> DataFrame:

@@ -132,19 +132,16 @@ def run_pipeline(
         return canonical_map(canonicalize_mentions(
             cat.read(spark, "linked"), cat.read(spark, "nil_ids")))
 
-    # T11 + T13 — canonical triples, cleaned, lang re-attached
+    # T11 + T13 — canonical triples, cleaned; `lang` carried through
+    # the tagged stage (TAG_FLAT_SCHEMA), so no re-attach join
     h_tri = stage_hash("triples", h_tag, h_nil, h_link, config=conf)
     def _triples():
         triples = canonical_triples(
-            flat_assertions(cat.read(spark, "tagged")), _cmap())
-        triples = clean_kb(
+            flat_assertions(cat.read(spark, "tagged"), with_lang=True),
+            _cmap())
+        return clean_kb(
             triples, spark.read.parquet(pages_path),
             suppress_validation=suppress_validation)
-        # url-unique lang map: recrawled corpora carry duplicate urls
-        # and an inner join would multiply triples (see build_triples_df)
-        lang_map = (cat.read(spark, "pages_text")
-                    .groupBy("url").agg(F.min("lang").alias("lang")))
-        return triples.join(lang_map, "url")
     step("triples", h_tri, _triples, partition_by=["lang"])
 
     # T10 — graph-based event coreference over the canonical triples:
@@ -247,18 +244,18 @@ def build_triples_df(
     ).localCheckpoint()
     # T6/T8/T9 were computed per-doc inside the tag_flat pass
     # (oracle-exact); the 'a' slice of the cached flat table IS the
-    # assertion table — zero additional shuffles
-    assertions = flat_assertions(tagged)
+    # assertion table — zero additional shuffles.  `lang` rides along
+    # from the input pages through the tagger (TAG_FLAT_SCHEMA), so the
+    # T12 language tag falls out of the dedup aggregation itself — the
+    # former full-corpus lang_map groupBy + sort-merge re-attach join
+    # is gone entirely.  cleanKB's orphan-provenance semi-join is
+    # vacuous on this path (every assertion url IS a page url by
+    # construction), leaving only the row-level validity predicate.
+    assertions = flat_assertions(tagged, with_lang=True)
     triples = canonical_triples(assertions, cmap)
     if not suppress_validation:
         from gaia_spark.operators.cleankb import valid_triples
         triples = valid_triples(triples)
-    # one inner join against a url-unique pages(url, lang) map serves as
-    # BOTH the cleanKB orphan-provenance semi-join and the T12 language
-    # re-attach — one shuffle instead of two.  Recrawled corpora carry
-    # duplicate urls, which an inner join would multiply into duplicate
-    # triples: collapse to one deterministic lang per url first (min —
-    # the groupBy keys on url, the same key as the join, so AQE/Exchange
-    # reuse keeps it to the one shuffle).
-    lang_map = pages.groupBy("url").agg(F.min("lang").alias("lang"))
-    return triples.join(lang_map, "url")
+    return triples.select(
+        "url", "sent_id", "subj", "pred", "obj",
+        "subj_type", "obj_type", "conf", "lang")

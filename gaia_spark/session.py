@@ -5,8 +5,9 @@ merely *exercised* at local[N] test scale (SURVEY.md §4.2):
 
 - AQE on: runtime broadcast-vs-SMJ on the alias join, skew-join
   splitting for Zipf-skewed domains, small-partition coalescing.
-- Arrow batches ~2k rows: wide text/binary rows must not OOM the
-  Python workers (SURVEY.md §4.3.4).
+- Arrow batches ~1k rows: keeps every worker's active set resident in
+  shared LLC at full parallelism (see ARROW_BATCH_ROWS) and wide
+  text/binary rows can't OOM the Python workers (SURVEY.md §4.3.4).
 - UTC session timezone: deterministic timestamp semantics vs DuckDB.
 """
 
@@ -17,6 +18,35 @@ import os
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
+
+#: glibc tuning for the Python workers (and, in local mode, the whole
+#: process tree): retain freed memory instead of munmap/trim-ing it
+#: back to the kernel.  The pandas-UDF hot path allocates and frees
+#: tens of MB per Arrow batch; with glibc defaults every batch
+#: re-faults its pages, and the kernel fault path CONTENDS across
+#: workers — measured on the 1M-doc tag stage: 36 core-s of sys time
+#: at 4 workers vs 1170 core-s at 16 (a 32× blowup for 4× the
+#: workers, ~50M minor faults/run).  Retention drops worker sys time
+#: ~25× and cuts tag-stage wall ~30% at 16 cores; see
+#: BENCH/SCALING.md.  Cost: higher steady-state RSS per worker
+#: (bounded by the worker's own peak, which executor sizing already
+#: budgets for).
+WORKER_MALLOC_ENV = {
+    "MALLOC_MMAP_THRESHOLD_": "1073741824",
+    "MALLOC_TRIM_THRESHOLD_": "1073741824",
+    "MALLOC_TOP_PAD_": "134217728",
+    "MALLOC_MMAP_MAX_": "0",
+}
+
+#: Arrow batch rows for pandas UDFs.  Small enough that the ACTIVE
+#: per-worker set (input batch + row staging + output frame + Arrow
+#: buffers, ~6 MB at 1024 pages) keeps all workers resident in shared
+#: LLC at full parallelism — measured tag-stage wall at 16 pinned
+#: cores: 250 s @8192 rows → 157 s @2048 → 133 s @1024 (and python
+#: user CPU down 24%), while 4-core legs are batch-insensitive (their
+#: active set fits cache at any size).  Big batches amortize nothing
+#: past ~1k rows; they just thrash.
+ARROW_BATCH_ROWS = 1024
 
 
 def _available_mem_bytes() -> int | None:
@@ -76,6 +106,11 @@ def get_spark(
         os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS",
                        DEFAULT_SHUFFLE_PARTITIONS)
     )
+    # local mode: python workers inherit this process's environment
+    for k, v in WORKER_MALLOC_ENV.items():
+        os.environ.setdefault(k, v)
+    arrow_batch = os.environ.get("SPARK_GRAFT_ARROW_BATCH",
+                                 str(ARROW_BATCH_ROWS))
     b = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
@@ -84,7 +119,8 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                arrow_batch)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM",
@@ -92,6 +128,9 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # cluster mode: ship the same worker malloc tuning to executors
+    for k, v in WORKER_MALLOC_ENV.items():
+        b = b.config(f"spark.executorEnv.{k}", v)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

@@ -46,10 +46,14 @@ def main() -> None:
     from gaia_spark.session import get_spark
     from gaia_spark.operators.mentions import tag_flat
 
+    extra = {"spark.driver.extraJavaOptions":
+             f"-Xlog:gc*:file={gclog}:time,uptime"}
+    if os.environ.get("SPARK_GRAFT_ARROW_BATCH"):
+        extra["spark.sql.execution.arrow.maxRecordsPerBatch"] = \
+            os.environ["SPARK_GRAFT_ARROW_BATCH"]
     spark = get_spark(
         "gcprobe", cpus=cpus, shuffle_partitions=2 * cpus,
-        extra_conf={"spark.driver.extraJavaOptions":
-                    f"-Xlog:gc*:file={gclog}:time,uptime"})
+        extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
     pages = spark.read.parquet(f"{cdir}/pages.parquet")
     tag_flat(pages.limit(256).repartition(2 * cpus)).count()  # warmup
