@@ -764,11 +764,18 @@ def kg_extract_text(spark, sf_dir):
 
 
 def kg_mentions(spark, sf_dir):
-    """T2/T3: typed mention counts per coarse/fine type."""
-    from gaia_spark.operators.extract import extract_pages
-    from gaia_spark.operators.mentions import mentions_df, tag_pages
+    """T2/T3(+T5): typed resolved-mention counts per coarse/fine type.
+
+    Uses the fused flat kernel (tag_flat — the pipeline's actual hot
+    path: one Arrow pass, flat pre-exploded rows) rather than the
+    nested tag_pages→explode variant, which pays a 5-10× costlier
+    ARRAY<STRUCT> pandas→Arrow boundary; the unfused path stays
+    covered by tests/test_operators.py + the fused-equivalence suite.
+    Mention rows here are post-nominal-resolution (T5), matching what
+    linking/canonicalization actually consume."""
+    from gaia_spark.operators.mentions import flat_mentions, tag_flat
     pages, _, _ = _synth_corpus(spark)
-    m = mentions_df(tag_pages(extract_pages(pages)))
+    m = flat_mentions(tag_flat(pages, kinds="m", from_text=False))
     return (m.groupBy("coarse", "fine")
             .agg(F.count(F.lit(1)).alias("n_mentions"),
                  F.count_distinct("surface").alias("n_surfaces")))
@@ -909,6 +916,50 @@ def text_decontaminate(spark, sf_dir):
     return dc.contamination_stats(corpus, ev)
 
 
+def webtext_curate(spark, sf_dir):
+    """End-to-end training-data curation funnel over ``documents``:
+    quality gate → exact dedup (md5 keeper among quality docs) →
+    benchmark decontamination (word-8-gram overlap vs the held-out
+    eval split, doc_id % 97 == 0) → deterministic per-source mixture
+    sampling.  Returns the per-source funnel (docs surviving each
+    stage) + content checksums of the final sample — the one-query
+    contract a corpus-release pipeline publishes.
+
+    Scale shape: quality + sampling are pure column predicates
+    (pushed to the scan); dedup is ONE shuffle of 32-byte
+    (fingerprint, min_id) partials; decontamination broadcasts the
+    eval fingerprints — the corpus side never exchanges.
+    """
+    from gaia_spark.functions import decontaminate as dc
+    from gaia_spark.functions import sampling as sp
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    q = ta.with_quality(d).select(
+        "doc_id", "source", "text", "quality_ok",
+        ta.fingerprint_col(F.col("text")).alias("fingerprint"))
+    keep = (q.filter("quality_ok")
+            .groupBy("fingerprint").agg(F.min("doc_id").alias("keeper")))
+    ev = d.filter(F.col("doc_id") % 97 == 0)
+    con = dc.contamination_stats(d, ev).select("doc_id", "contaminated")
+    flags = q.join(keep, "fingerprint", "left").join(con, "doc_id")
+    # false AND null = false, so the left-join null keeper (non-quality
+    # fingerprints never elected one) cannot leak nulls into the flags
+    dedup_ok = F.col("quality_ok") & (F.col("doc_id") == F.col("keeper"))
+    decon_ok = dedup_ok & ~F.col("contaminated")
+    final_ok = decon_ok & sp.mixture_gate(_MIX_RATES, _MIX_DEFAULT)
+    return (
+        flags.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.col("quality_ok").cast("bigint")).alias("n_quality"),
+            F.sum(dedup_ok.cast("bigint")).alias("n_dedup"),
+            F.sum(decon_ok.cast("bigint")).alias("n_decon"),
+            F.sum(final_ok.cast("bigint")).alias("n_final"),
+            F.sum(F.when(final_ok, F.col("doc_id"))).alias("sum_ids_final"),
+            F.sum(F.when(final_ok, F.length("text")).otherwise(F.lit(0)))
+            .cast("bigint").alias("sum_chars_final"),
+        )
+    )
+
+
 def graph_pagerank(spark, sf_dir):
     """PageRank (3 iterations, damping 0.85) over the supplier→part
     graph of a lineitem subset — BIGINT fixed-point (ppm) arithmetic
@@ -977,6 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": text_repetition,
         "dedup_chunks": dedup_chunks,
         "text_decontaminate": text_decontaminate,
+        "webtext_curate": webtext_curate,
         "web_urls": web_urls,
         "graph_pagerank": graph_pagerank,
         "sample_mixture": sample_mixture,
@@ -1468,6 +1520,51 @@ def oracle_sql() -> dict[str, str]:
                sum(length(text))::BIGINT AS sum_chars
         FROM documents
         WHERE {_sp.sql_mixture_sample_where(_MIX_RATES, _MIX_DEFAULT)}
+        GROUP BY source
+    """
+
+    sql["webtext_curate"] = f"""
+        WITH stats AS (
+          SELECT doc_id, source, text, {ta.sql_stats_select('text')}
+          FROM documents
+        ), q AS (
+          SELECT doc_id, source, text,
+                 {ta.sql_fingerprint('text')} AS fingerprint,
+                 {ta.sql_quality_select()}
+          FROM stats
+        ), keep AS (
+          SELECT fingerprint, min(doc_id) AS keeper
+          FROM q WHERE quality_ok GROUP BY 1
+        ), con AS (
+          SELECT doc_id, contaminated
+          FROM ({_dc.sql_contamination_stats(
+                   'documents',
+                   '(SELECT doc_id, text FROM documents '
+                   'WHERE doc_id % 97 = 0)')})
+        ), flags AS (
+          SELECT q.doc_id, q.source, q.text, q.quality_ok,
+                 coalesce(q.quality_ok AND q.doc_id = k.keeper, FALSE)
+                   AS dedup_ok,
+                 con.contaminated,
+                 {_sp.sql_mixture_sample_where(_MIX_RATES, _MIX_DEFAULT)}
+                   AS gate
+          FROM q LEFT JOIN keep k USING (fingerprint)
+          JOIN con USING (doc_id)
+        )
+        SELECT source,
+               count(*)::BIGINT AS n_total,
+               sum(quality_ok::INT)::BIGINT AS n_quality,
+               sum(dedup_ok::INT)::BIGINT AS n_dedup,
+               sum((dedup_ok AND NOT contaminated)::INT)::BIGINT
+                 AS n_decon,
+               sum((dedup_ok AND NOT contaminated AND gate)::INT)::BIGINT
+                 AS n_final,
+               sum(CASE WHEN dedup_ok AND NOT contaminated AND gate
+                        THEN doc_id END)::BIGINT AS sum_ids_final,
+               sum(CASE WHEN dedup_ok AND NOT contaminated AND gate
+                        THEN length(text) ELSE 0 END)::BIGINT
+                 AS sum_chars_final
+        FROM flags
         GROUP BY source
     """
 

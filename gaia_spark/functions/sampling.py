@@ -39,16 +39,14 @@ def sql_hash_gate(key: str, rate_x10k: str) -> str:
             f" < ({rate_x10k})")
 
 
-def mixture_sample(df: DataFrame, rates_x10k: dict[str, int],
-                   default_x10k: int,
-                   source_col: str = "source",
-                   key_col: str = "doc_id") -> DataFrame:
-    """Per-source weighted deterministic sample (mixture weights).
+def mixture_gate(rates_x10k: dict[str, int], default_x10k: int,
+                 source_col: str = "source",
+                 key_col: str = "doc_id") -> Column:
+    """Boolean gate column for per-source weighted sampling.
 
     ``rates_x10k`` maps source → basis-point keep rate; unlisted
     sources use ``default_x10k``.  The gate key is
     ``source || ':' || key`` so per-source samples are independent.
-    Pure filter — no shuffle, pushes below any downstream agg.
     """
     rate = F.lit(default_x10k)
     for src in sorted(rates_x10k):
@@ -56,7 +54,19 @@ def mixture_sample(df: DataFrame, rates_x10k: dict[str, int],
                       F.lit(rates_x10k[src])).otherwise(rate)
     key = F.concat_ws(":", F.col(source_col),
                       F.col(key_col).cast("string"))
-    return df.filter(hash_gate(key, rate))
+    return hash_gate(key, rate)
+
+
+def mixture_sample(df: DataFrame, rates_x10k: dict[str, int],
+                   default_x10k: int,
+                   source_col: str = "source",
+                   key_col: str = "doc_id") -> DataFrame:
+    """Per-source weighted deterministic sample (mixture weights).
+
+    Pure filter — no shuffle, pushes below any downstream agg.
+    """
+    return df.filter(mixture_gate(rates_x10k, default_x10k,
+                                  source_col, key_col))
 
 
 def sql_mixture_sample_where(rates_x10k: dict[str, int],
