@@ -65,15 +65,16 @@ def canonical_triples(
             "conf",
             *(["lang"] if with_lang else []),
         )
-        # one url-keyed exchange serves BOTH the dedup and every
-        # downstream url join (cleanKB provenance, T12 lang attach):
-        # url ⊆ the dedup key, so HashPartitioning(url) satisfies the
-        # aggregate's ClusteredDistribution and Catalyst inserts no
-        # second shuffle — vs dropDuplicates alone, which would hash on
-        # all 8 columns and force the url join to re-shuffle the
-        # entire triple set.
-        .repartition(F.col("url"))
     )
+    # No explicit repartition before the dedup: the aggregate's own
+    # ENSURE_REQUIREMENTS exchange runs AFTER the partial (map-side)
+    # aggregate, and duplicates are doc-local by construction (every
+    # duplicate of a triple shares `url`, and a page's assertion rows
+    # come out of one tagger partition, joined only by broadcast), so
+    # the partial agg collapses them before any bytes move — the
+    # exchange carries ~distinct triples only.  A pre-agg
+    # repartition(url) would ship the RAW joined rows instead,
+    # defeating map-side combine.
     if with_lang:
         # groupBy+min, not dropDuplicates: duplicates from recrawled
         # urls may disagree on lang, and "keep first" would be

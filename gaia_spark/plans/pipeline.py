@@ -212,17 +212,26 @@ def build_triples_df(
         tag_flat,
     )
 
-    # 2× overpartitioning: page cost varies ~20× (1-20 sentences), so
-    # at 1 partition per core the slowest task gates the stage; two
-    # waves let the scheduler rebalance (measured 3× on the tag stage)
+    # The tagger wants ≥2 waves of tasks (page cost varies ~20×, so at
+    # 1 partition per core the slowest task gates the stage).  When the
+    # parquet scan already yields that many splits (files.
+    # maxPartitionBytes is sized for it in session.py) feed the scan
+    # splits STRAIGHT into the Arrow pass — repartitioning first would
+    # exchange the whole corpus (html included) for nothing: scan
+    # splits are row-group-granular, so each page's flat rows stay
+    # partition-local either way, which is the only property the
+    # downstream dedup needs.  The repartition remains as the fallback
+    # for unsplittable inputs (one small file, a handful of
+    # createDataFrame partitions) that would otherwise pin T1/T2 to
+    # too few tasks.
     nparts = 2 * spark.sparkContext.defaultParallelism
-    # fused T1+T2+T5: ONE wide stage (repartition shuffle → single
-    # Arrow pass extract+tag+coref) emitting pre-exploded rows; `lang`
-    # re-joins from the input table.  flat_mentions(tagged) IS the
-    # resolved table — downstream is pure relational algebra until the
-    # final write.
-    tagged = tag_flat(pages.repartition(nparts, "url"),
-                      kinds="sa").localCheckpoint()
+    if pages.rdd.getNumPartitions() < nparts:
+        pages = pages.repartition(nparts, "url")
+    # fused T1+T2+T5: ONE wide stage (single Arrow pass
+    # extract+tag+coref) emitting pre-exploded rows.
+    # flat_mentions(tagged) IS the resolved table — downstream is pure
+    # relational algebra until the final write.
+    tagged = tag_flat(pages, kinds="sa").localCheckpoint()
     # T4/T4b/T11 operate on DISTINCT SURFACES, not mention occurrences:
     # the tagger pre-dedups per doc ('s' rows), the map-side-combined
     # distinct collapses those to the corpus surface vocabulary before
@@ -242,6 +251,16 @@ def build_triples_df(
     cmap = canonical_map(
         canonicalize_mentions(linked_s, nil)
     ).localCheckpoint()
+    # The checkpointed cmap is a LogicalRDD — Catalyst has NO size
+    # statistics for it, so left alone the rewrite joins plan as
+    # sort-merge (+ Spark-injected bloom-filter passes), and the
+    # 10^9-row assertion side pays two shuffle writes before AQE can
+    # notice the build side is tiny.  cmap is materialized at this
+    # point, so measure it directly: vocabulary-sized → static
+    # broadcast hint (no assertion-side exchange at all); genuinely
+    # huge vocabularies fall through to the adaptive sort-merge path.
+    if cmap.count() <= 2_000_000:
+        cmap = F.broadcast(cmap)
     # T6/T8/T9 were computed per-doc inside the tag_flat pass
     # (oracle-exact); the 'a' slice of the cached flat table IS the
     # assertion table — zero additional shuffles.  `lang` rides along

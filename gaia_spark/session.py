@@ -38,6 +38,15 @@ WORKER_MALLOC_ENV = {
     "MALLOC_MMAP_MAX_": "0",
 }
 
+#: Parquet scan split target.  The KG pipeline feeds scan splits
+#: straight into the fused Arrow tagger (no pre-shuffle — see
+#: plans/pipeline.py), so the scan must yield enough splits for ≥2
+#: task waves per core; 32 MB over a multi-GB corpus does that at any
+#: local core count while staying row-group-granular (corpora are
+#: written with ~2k-doc row groups).  On a real cluster this is the
+#: same knob you'd size as input_bytes / (2 × total_cores).
+MAX_PARTITION_BYTES = 32 * 1024 * 1024
+
 #: Arrow batch rows for pandas UDFs.  Small enough that the ACTIVE
 #: per-worker set (input batch + row staging + output frame + Arrow
 #: buffers, ~6 MB at 1024 pages) keeps all workers resident in shared
@@ -121,6 +130,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                 arrow_batch)
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES",
+                               str(MAX_PARTITION_BYTES)))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM",

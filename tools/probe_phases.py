@@ -50,9 +50,14 @@ def main() -> None:
         print(f"# {name}: {t[name]}s", flush=True)
         return out
 
+    # mirror build_triples_df: scan splits feed the tagger directly
+    # when plentiful (maxPartitionBytes sized in session.py)
     nparts = 2 * spark.sparkContext.defaultParallelism
+    src = pages
+    if src.rdd.getNumPartitions() < nparts:
+        src = src.repartition(nparts, "url")
     tagged = phase("tag", lambda: tag_flat(
-        pages.repartition(nparts, "url"), kinds="sa").localCheckpoint())
+        src, kinds="sa").localCheckpoint())
     linked_s = phase("link", lambda: link_mentions(
         flat_surfaces(tagged).distinct(), kb_e, kb_a).localCheckpoint())
     nil = phase("nil", lambda: nil_clusters(linked_s).localCheckpoint())
@@ -60,9 +65,11 @@ def main() -> None:
         canonicalize_mentions(linked_s, nil)).localCheckpoint())
 
     def _triples():
-        tri = valid_triples(canonical_triples(flat_assertions(tagged), cmap))
-        lang_map = pages.groupBy("url").agg(F.min("lang").alias("lang"))
-        return tri.join(lang_map, "url").count()
+        # mirror build_triples_df: lang carried through the tagger,
+        # cmap broadcast-hinted (it is materialized and tiny here)
+        tri = valid_triples(canonical_triples(
+            flat_assertions(tagged, with_lang=True), F.broadcast(cmap)))
+        return tri.count()
 
     n = phase("triples", _triples)
     t["total"] = round(sum(v for k, v in t.items() if k != "total"), 1)
