@@ -607,6 +607,16 @@ def dedup_minhash_lsh(spark, sf_dir):
     return dd.minhash_dedup_pairs(d, 9000)
 
 
+def dedup_resolve(spark, sf_dir):
+    """Full near-dup dedup RESOLUTION (doc_id<300, J≥0.9): LSH pairs →
+    connected components → keeper per cluster.  One row per doc:
+    (doc_id, cluster, keep); semi-joining on keep=true is the
+    deduplicated corpus.  Oracle = exhaustive-Jaccard pairs +
+    recursive-CTE closure (LSH misses a true pair w.p. ~1e-15)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return dd.dedup_resolution(d, 9000)
+
+
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs over docs ∪ mirrors (Hamming ≤ 3).
     Not SQL-expressible (xxhash64) → rows-only driver check; the
@@ -1017,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "dedup_jaccard": dedup_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_resolve": dedup_resolve,
         "dedup_simhash": dedup_simhash,
         "dedup_simhash_recipe": dedup_simhash_recipe,
         "ann_cosine_topk": ann_cosine_topk,
@@ -1326,6 +1337,9 @@ def oracle_sql() -> dict[str, str]:
         "documents", 9000, where="doc_id < 120")
 
     sql["dedup_minhash_lsh"] = dd.sql_jaccard_pairs(
+        "documents", 9000, where="doc_id < 300")
+
+    sql["dedup_resolve"] = dd.sql_dedup_resolution(
         "documents", 9000, where="doc_id < 300")
 
     sql["ann_cosine_topk"] = sim.sql_cosine_topk(

@@ -279,6 +279,75 @@ def minhash_dedup_pairs(df: DataFrame, min_x10k: int,
     return jaccard_for_pairs(postings, cand, min_x10k)
 
 
+def dedup_resolution(df: DataFrame, min_x10k: int,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Full-corpus near-dup RESOLUTION: pairs → clusters → keepers.
+
+    `minhash_dedup_pairs` emits the near-dup *pair list*; a corpus user
+    wants the *deduplicated corpus*.  This closes the loop: connected
+    components over the pair graph, keeper = min doc id per cluster.
+    → one row per input doc: (id_col, cluster, keep) where `cluster`
+    is the min doc id reachable through near-dup edges (singletons
+    cluster with themselves) and `keep` marks the cluster's keeper —
+    `df.join(resolution.filter("keep"), id_col, "left_semi")` IS the
+    deduplicated corpus.
+
+    Scale shape: pair building is the LSH-blocked path (O(n·bands)
+    shuffle, never all-pairs); CC runs over near-dup *pairs only* — a
+    graph orders of magnitude smaller than the corpus; singletons
+    re-attach with a left join that AQE sizes itself (broadcast when
+    the clustered set is small, shuffle join when it is not — no
+    forced broadcast, unlike the NIL-cluster path where the cluster
+    map is provably vocabulary-sized).
+    """
+    from gaia_spark.operators.graph import connected_components
+
+    pairs = minhash_dedup_pairs(df, min_x10k, text_col, id_col)
+    comps = connected_components(
+        pairs.select(F.col("a_id").alias("src"),
+                     F.col("b_id").alias("dst")))
+    return (
+        df.select(F.col(id_col))
+        .join(comps.select(F.col("node").alias(id_col),
+                           F.col("component").alias("cluster")),
+              id_col, "left")
+        .withColumn("cluster", F.coalesce(F.col("cluster"), F.col(id_col)))
+        .withColumn("keep", F.col(id_col) == F.col("cluster"))
+    )
+
+
+def sql_dedup_resolution(rel: str, min_x10k: int, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         where: str = "TRUE") -> str:
+    """DuckDB twin of dedup_resolution: exhaustive Jaccard pairs →
+    recursive-CTE transitive closure → min-label components → keeper
+    election.  Valid as the oracle for the LSH-blocked Spark path for
+    the same reason as `minhash_dedup_pairs` (block-miss prob ≈1e-15
+    at J≥0.9 with 128 perms / 32 bands)."""
+    pairs = sql_jaccard_pairs(rel, min_x10k, text_col, id_col, where)
+    return f"""
+WITH RECURSIVE pair_base AS (
+  SELECT a_id, b_id FROM ({pairs})
+), edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pair_base
+  UNION
+  SELECT b_id, a_id FROM pair_base
+), reach(node, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.node
+), comps AS (
+  SELECT node, min(comp) AS comp FROM reach GROUP BY node
+)
+SELECT d.{id_col},
+       coalesce(c.comp, d.{id_col}) AS cluster,
+       (d.{id_col} = coalesce(c.comp, d.{id_col})) AS keep
+FROM (SELECT * FROM {rel} WHERE {where}) d
+LEFT JOIN comps c ON c.node = d.{id_col}
+"""
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

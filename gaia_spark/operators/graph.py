@@ -23,17 +23,23 @@ from pyspark.sql import functions as F
 DRIVER_CC_MAX_EDGES = 1_000_000
 
 
-def _driver_components(pairs: list, spark, nodes: DataFrame | None):
+def _driver_components(pairs: list, spark, nodes: DataFrame | None,
+                       node_type=None):
     """Union-find on the driver for small edge sets (≤ bounded count).
 
     Still deterministic (component = min member id) and still safe for
     huge NODE sets: only edge-touched nodes are collected; isolated
     nodes get their label via a left join + coalesce, never leaving
-    the executors.
+    the executors.  ``node_type`` is the Spark DataType of the node
+    ids (defaults to string); Python min/max agrees with both Spark's
+    and DuckDB's min for strings AND integers, so the label is
+    engine-independent either way.
     """
-    parent: dict[str, str] = {}
+    from pyspark.sql.types import StringType, StructField, StructType
 
-    def find(x: str) -> str:
+    parent: dict = {}
+
+    def find(x):
         r = x
         while parent.get(r, r) != r:
             r = parent[r]
@@ -46,13 +52,15 @@ def _driver_components(pairs: list, spark, nodes: DataFrame | None):
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     touched = {x for ab in pairs for x in ab}
-    members: dict[str, str] = {}
+    members: dict = {}
     for n in touched:
         r = find(n)
         members[r] = min(members.get(r, n), n)
+    node_type = node_type or StringType()
     comps = spark.createDataFrame(
         [(n, members[find(n)]) for n in sorted(touched)],
-        "node string, component string",
+        StructType([StructField("node", node_type, False),
+                    StructField("component", node_type, False)]),
     )
     if nodes is None:
         return comps
@@ -95,7 +103,8 @@ def connected_components(
     n_edges = sym.count()
     if n_edges <= DRIVER_CC_MAX_EDGES:
         pairs = [(r.src, r.dst) for r in sym.collect()]
-        return _driver_components(pairs, edges.sparkSession, nodes)
+        return _driver_components(pairs, edges.sparkSession, nodes,
+                                  node_type=sym.schema["src"].dataType)
 
     node_df = sym.select(F.col("src").alias("node")).distinct()
     if nodes is not None:

@@ -55,6 +55,41 @@ def test_minhash_lsh_equals_exhaustive(spark, docs_df):
     assert lsh == exact and len(exact) >= 2
 
 
+def test_dedup_resolution_clusters_and_keepers(spark, docs_df):
+    """Transitive closure + keeper election over the fixture graph:
+    docs 0/1/2/6 chain into one cluster through pairwise near-dup
+    edges (0~1 at J=0.778, 0~2 and 0~6 at J=1.0), 3~4 a second, 5 a
+    singleton — threshold 7000 so the one-token-off edge is in."""
+    res = {r.doc_id: (r.cluster, r.keep)
+           for r in dd.dedup_resolution(docs_df, 7000).collect()}
+    assert len(res) == len(DOCS)                 # one row per input doc
+    assert res[0] == (0, True)
+    assert res[1] == (0, False)                  # near-dup of 0
+    assert res[2] == (0, False)                  # exact dup of 0
+    assert res[6] == (0, False)                  # ws/case dup of 0
+    assert res[3] == (3, True) and res[4] == (3, False)
+    assert res[5] == (5, True)                   # singleton keeps itself
+    # exactly one keeper per cluster, and it is the cluster label
+    keepers = {c for d, (c, k) in res.items() if k}
+    assert keepers == {c for c, _ in res.values()}
+
+
+def test_dedup_resolution_matches_duckdb(spark, docs_df):
+    """Engine-twin check of the full resolution (pairs → closure →
+    keepers) against the DuckDB recursive-CTE oracle."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs AS SELECT * FROM (VALUES "
+                + ",".join(f"({i}, '{t}')" for i, t in DOCS)
+                + ") v(doc_id, text)")
+    want = {(r[0], r[1], r[2]) for r in con.execute(
+        dd.sql_dedup_resolution("docs", 7000)).fetchall()}
+    got = {(r.doc_id, r.cluster, r.keep)
+           for r in dd.dedup_resolution(docs_df, 7000).collect()}
+    assert got == want
+
+
 def test_minhash_signature_shape_and_determinism(spark, docs_df):
     sig1 = dd.minhash_signature(dd.token_set(docs_df)).collect()
     sig2 = dd.minhash_signature(
