@@ -970,6 +970,15 @@ def webtext_curate(spark, sf_dir):
     )
 
 
+def pack_sequences(spark, sf_dir):
+    """Sequence packing (concatenate-and-chunk): per-doc pack
+    assignments for seq_len=512 training windows, sharded into 8
+    hash buckets so the running token sum is a per-shard window, not
+    a corpus-wide single-reducer sort (the 10^12-doc shape)."""
+    from gaia_spark.functions import packing as pk
+    return pk.pack_assignments(_t(spark, sf_dir, "documents"), 512)
+
+
 def graph_pagerank(spark, sf_dir):
     """PageRank (3 iterations, damping 0.85) over the supplier→part
     graph of a lineitem subset — BIGINT fixed-point (ppm) arithmetic
@@ -1041,6 +1050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontaminate": text_decontaminate,
         "webtext_curate": webtext_curate,
         "web_urls": web_urls,
+        "pack_sequences": pack_sequences,
         "graph_pagerank": graph_pagerank,
         "sample_mixture": sample_mixture,
         # KG construction (rows-only; oracled by gaia_ref under pytest)
@@ -1341,6 +1351,9 @@ def oracle_sql() -> dict[str, str]:
 
     sql["dedup_resolve"] = dd.sql_dedup_resolution(
         "documents", 9000, where="doc_id < 300")
+
+    from gaia_spark.functions import packing as _pk
+    sql["pack_sequences"] = _pk.sql_pack_assignments("documents", 512)
 
     sql["ann_cosine_topk"] = sim.sql_cosine_topk(
         "embeddings", 5, "vec_id < 8")

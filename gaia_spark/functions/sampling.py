@@ -39,6 +39,19 @@ def sql_hash_gate(key: str, rate_x10k: str) -> str:
             f" < ({rate_x10k})")
 
 
+def hash_bucket(key: Column, n_buckets: int) -> Column:
+    """Deterministic uniform shard id in [0, n_buckets): same md5
+    idiom as hash_gate, shared by packing (shard assignment) and any
+    op that needs an engine/partitioning-independent bucket."""
+    return (F.conv(F.substring(F.md5(key), 1, 8), 16, 10)
+            .cast("bigint") % n_buckets)
+
+
+def sql_hash_bucket(key: str, n_buckets: int) -> str:
+    """DuckDB twin of hash_bucket."""
+    return f"(('0x' || substr(md5({key}), 1, 8))::BIGINT % {n_buckets})"
+
+
 def mixture_gate(rates_x10k: dict[str, int], default_x10k: int,
                  source_col: str = "source",
                  key_col: str = "doc_id") -> Column:

@@ -226,3 +226,58 @@ class TestDecontaminate:
             .queryExecution().executedPlan().toString()
         # eval side must reach the membership join as a broadcast
         assert "BroadcastHashJoin" in plan
+
+
+class TestPacking:
+    """Sequence packing: hand-computed offsets, span math, shard
+    independence, engine twin."""
+
+    def _hand_df(self, spark):
+        return spark.createDataFrame(
+            [(1, "one two three"),            # 3 tokens
+             (2, "a b c d e f g"),            # 7 tokens
+             (3, "x " * 12),                  # 12 tokens → spans packs
+             (4, "   ")],                     # 0 tokens → dropped
+            "doc_id long, text string")
+
+    def test_offsets_by_hand_single_shard(self, spark):
+        from gaia_spark.functions.packing import pack_assignments
+        got = _rows(pack_assignments(self._hand_df(spark), 10,
+                                     n_buckets=1))
+        assert 4 not in got                        # empty doc dropped
+        assert got[1]["start_tok"] == 0 and got[1]["n_tokens"] == 3
+        assert got[2]["start_tok"] == 3 and got[2]["n_tokens"] == 7
+        # doc 3 starts exactly at the pack boundary and fills 10..21
+        assert got[3]["start_tok"] == 10
+        assert (got[3]["first_pack"], got[3]["last_pack"]) == (1, 2)
+        assert got[3]["n_packs"] == 2
+        assert got[1]["n_packs"] == got[2]["n_packs"] == 1
+
+    def test_partition_and_bucket_invariance(self, spark):
+        from gaia_spark.functions.packing import pack_assignments
+        df = spark.range(200).selectExpr(
+            "id AS doc_id",
+            "concat('w ', repeat('tok ', CAST(id % 17 AS INT))) AS text")
+        a = sorted(map(tuple, pack_assignments(df, 64,
+                                               n_buckets=4).collect()))
+        b = sorted(map(tuple, pack_assignments(
+            df.repartition(7), 64, n_buckets=4).collect()))
+        assert a == b and len(a) == 200
+
+    def test_matches_duckdb(self, spark):
+        import duckdb
+        from gaia_spark.functions.packing import (pack_assignments,
+                                                  sql_pack_assignments)
+        rows = [(i, f"doc {i} " + "alpha beta " * (i % 9))
+                for i in range(60)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE docs AS SELECT * FROM (VALUES "
+            + ",".join(f"({i}, '{t}')" for i, t in rows)
+            + ") v(doc_id, text)")
+        want = {tuple(r) for r in con.execute(
+            sql_pack_assignments("docs", 32, n_buckets=4)).fetchall()}
+        got = {tuple(r)
+               for r in pack_assignments(df, 32, n_buckets=4).collect()}
+        assert got == want
