@@ -37,6 +37,29 @@ def cpu_ticks():
     # (total, idle+iowait, steal) — steal>0 means a noisy co-tenant VM
     return (sum(v), v[3] + v[4], v[7] if len(v) > 7 else 0)
 
+TICK = os.sysconf("SC_CLK_TCK")
+
+def proc_cpu():
+    # {{pid: (comm, user_s, sys_s)}} for every live process: diffing two
+    # snapshots around the timed job splits CPU-seconds into the JVM
+    # (comm=java) vs the Python workers — wall-vs-CPU then separates
+    # "cores idled" (scheduling loss) from "cores ran slower"
+    # (clock/bandwidth loss), which wall time alone cannot.
+    out = {{}}
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{{pid}}/stat") as f:
+                parts = f.read().rsplit(")", 1)[1].split()
+            with open(f"/proc/{{pid}}/comm") as f:
+                name = f.read().strip()
+            out[int(pid)] = (name, int(parts[11]) / TICK,
+                             int(parts[12]) / TICK)
+        except OSError:
+            continue
+    return out
+
 cpus = int(os.environ["SPARK_GRAFT_CPUS"])
 cdir = os.environ["SPARK_GRAFT_CORPUS"]
 spark = get_spark("scaling", cpus=cpus, shuffle_partitions=2 * cpus)
@@ -47,16 +70,28 @@ kb_a = spark.read.parquet(f"{{cdir}}/kb_aliases.parquet")
 # warmup: JVM + python workers + lexicon import
 tag_flat(pages.limit(256).repartition(2 * cpus)).count()
 c0 = cpu_ticks()
+p0 = proc_cpu()
 t0 = time.perf_counter()
 n = build_triples_df(spark, pages, kb_e, kb_a).count()
 dt = time.perf_counter() - t0
+p1 = proc_cpu()
 c1 = cpu_ticks()
 tot = max(1, c1[0] - c0[0])
+agg = {{}}
+for pid, (name, u1, s1) in p1.items():
+    u0, s0 = p0.get(pid, (name, 0.0, 0.0))[1:]
+    kind = ("jvm" if name == "java"
+            else "python" if name.startswith("python") else "other")
+    agg[kind] = agg.get(kind, 0.0) + (u1 - u0) + (s1 - s0)
+work = agg.get("jvm", 0.0) + agg.get("python", 0.0)
 print("RESULT " + json.dumps({{"cpus": cpus, "secs": round(dt, 2),
                                "triples": n,
                                "steal_pct": round(100 * (c1[2] - c0[2]) / tot, 2),
                                "host_busy_cores": round(
-                                   (1 - (c1[1] - c0[1]) / tot) * os.cpu_count(), 1)}}))
+                                   (1 - (c1[1] - c0[1]) / tot) * os.cpu_count(), 1),
+                               "cpu_secs": {{k: round(v, 1)
+                                             for k, v in sorted(agg.items())}},
+                               "util_pct": round(100 * work / (dt * cpus), 1)}}))
 spark.stop()
 """
 
@@ -98,7 +133,9 @@ def main() -> None:
                 best[cpus] = got
             print(f"# leg {cpus} run {r + 1}/{repeats}: {got['secs']}s "
                   f"(steal {got.get('steal_pct', '?')}%, host busy "
-                  f"{got.get('host_busy_cores', '?')} cores)", flush=True)
+                  f"{got.get('host_busy_cores', '?')} cores, util "
+                  f"{got.get('util_pct', '?')}%, cpu "
+                  f"{got.get('cpu_secs', '?')})", flush=True)
     t_lo, t_hi = best[n_lo]["secs"], best[n_hi]["secs"]
     d_lo, d_hi = n_docs / t_lo, n_docs / t_hi
     eff = (d_hi / d_lo) / (n_hi / n_lo)
@@ -119,6 +156,14 @@ def main() -> None:
                       best[n_hi].get("steal_pct")],
         "host_busy_cores": [best[n_lo].get("host_busy_cores"),
                             best[n_hi].get("host_busy_cores")],
+        # CPU accounting of the kept legs: util_pct ~100 on BOTH legs
+        # with higher cpu_secs on the big leg = cores ran slower
+        # (clock/bandwidth, hardware ceiling); util_pct dropping on the
+        # big leg = cores idled (scheduling / stragglers / serial code).
+        "util_pct": [best[n_lo].get("util_pct"),
+                     best[n_hi].get("util_pct")],
+        "cpu_secs": [best[n_lo].get("cpu_secs"),
+                     best[n_hi].get("cpu_secs")],
     }
     print(json.dumps(result))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -136,8 +181,9 @@ def main() -> None:
         f.write(f"| probe | {pinned} | {n_docs} | {n_lo}->{n_hi} "
                 f"| {t_lo} | {t_hi} | {round(eff, 3)} "
                 f"| steal {result['steal_pct']}%, host-busy "
-                f"{result['host_busy_cores']} cores, min-of-"
-                f"{repeats} |\n")
+                f"{result['host_busy_cores']} cores, util "
+                f"{result['util_pct']}%, cpu {result['cpu_secs']}, "
+                f"min-of-{repeats} |\n")
 
 
 if __name__ == "__main__":
