@@ -66,21 +66,67 @@ def canonical_triples(
             *(["lang"] if with_lang else []),
         )
     )
-    # No explicit repartition before the dedup: the aggregate's own
-    # ENSURE_REQUIREMENTS exchange runs AFTER the partial (map-side)
-    # aggregate, and duplicates are doc-local by construction (every
-    # duplicate of a triple shares `url`, and a page's assertion rows
-    # come out of one tagger partition, joined only by broadcast), so
-    # the partial agg collapses them before any bytes move — the
-    # exchange carries ~distinct triples only.  A pre-agg
-    # repartition(url) would ship the RAW joined rows instead,
-    # defeating map-side combine.
+    return dedup_triples(joined, with_lang=with_lang)
+
+
+def dedup_triples(joined: DataFrame, with_lang: bool) -> DataFrame:
+    """Exact triple dedup that shuffles 8-byte KEYS, not rows.
+
+    A naive ``groupBy(TRIPLE_COLS)`` exchanges the full triple rows —
+    measured 26 s of a 79 s 16-core run (400k docs) to collapse ZERO
+    duplicates: corpora are mostly-unique, and on a saturated memory
+    bus (or a real cluster's network) shipping ~100-byte rows to prove
+    they are already distinct is the single most expensive no-op in
+    the pipeline.  At 10^12 docs the naive form is a full shuffle of
+    the entire triple table.
+
+    Sparse-duplicate algorithm (exact for ANY input, including
+    recrawled urls whose copies land in different partitions):
+
+    1. ``h = xxhash64(TRIPLE_COLS)`` per row;
+    2. ``dup_hashes`` = h values seen more than once — the groupBy(h)
+       exchange carries (8-byte key, partial count), ~15× less than
+       the rows;
+    3. rows whose h is NOT in ``dup_hashes`` (broadcast anti-join) are
+       globally unique → pass through with NO exchange at all;
+    4. only rows in the duplicated slice take the full-row
+       groupBy/min(lang) — exact even for xxhash64 collisions between
+       DIFFERENT triples (a collision merely routes both rows into
+       this exact branch) and for recrawl copies that disagree on
+       ``lang`` (min over copies, partitioning-independent).
+
+    The pass-through branch re-executes ``joined`` (cheap: broadcast
+    joins over a checkpointed/parquet input) instead of materializing
+    it — two narrow scans beat one full-row exchange.
+
+    Fallback: if the duplicated slice is NOT sparse (> ~4M distinct
+    duplicated hashes — a recrawl-heavy corpus), broadcasting it would
+    hurt, so the classic full-row aggregate is used instead.  The
+    probe costs one tiny action on the already-aggregated hash side.
+    """
+    h = F.xxhash64(*TRIPLE_COLS).alias("__h")
+    dup_hashes = (
+        joined.select(h)
+        .groupBy("__h").agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .select("__h")
+        .localCheckpoint()  # tiny; broadcast to two consumers below
+    )
+    if dup_hashes.count() > 4_000_000:
+        if with_lang:
+            return joined.groupBy(TRIPLE_COLS).agg(
+                F.min("lang").alias("lang"))
+        return joined.dropDuplicates(TRIPLE_COLS)
+    hashed = joined.withColumn("__h", F.xxhash64(*TRIPLE_COLS))
+    out_cols = TRIPLE_COLS + (["lang"] if with_lang else [])
+    unique = hashed.join(F.broadcast(dup_hashes), "__h", "left_anti")
+    dup_slice = hashed.join(F.broadcast(dup_hashes), "__h", "left_semi")
     if with_lang:
-        # groupBy+min, not dropDuplicates: duplicates from recrawled
-        # urls may disagree on lang, and "keep first" would be
-        # partitioning-dependent
-        return joined.groupBy(TRIPLE_COLS).agg(F.min("lang").alias("lang"))
-    return joined.dropDuplicates(TRIPLE_COLS)
+        deduped = dup_slice.groupBy(TRIPLE_COLS).agg(
+            F.min("lang").alias("lang"))
+    else:
+        deduped = dup_slice.dropDuplicates(TRIPLE_COLS)
+    return unique.select(out_cols).unionByName(deduped.select(out_cols))
 
 
 def graph_nodes(canon_mentions: DataFrame) -> DataFrame:

@@ -40,11 +40,15 @@ def cpu_ticks():
 TICK = os.sysconf("SC_CLK_TCK")
 
 def proc_cpu():
-    # {{pid: (comm, user_s, sys_s)}} for every live process: diffing two
-    # snapshots around the timed job splits CPU-seconds into the JVM
-    # (comm=java) vs the Python workers — wall-vs-CPU then separates
-    # "cores idled" (scheduling loss) from "cores ran slower"
-    # (clock/bandwidth loss), which wall time alone cannot.
+    # {{pid: (comm, cpu_s, reaped_child_cpu_s)}} for every live process:
+    # diffing two snapshots around the timed job splits CPU-seconds into
+    # the JVM (comm=java) vs the Python workers — wall-vs-CPU then
+    # separates "cores idled" (scheduling loss) from "cores ran slower"
+    # (clock/bandwidth loss), which wall time alone cannot.  cutime/
+    # cstime (reaped children) matter: pyspark worker processes are
+    # killed on idle timeout once their stage ends, so a job whose LAST
+    # stages are JVM-only loses the tag-stage workers from the end
+    # snapshot — their CPU survives only in the daemon's child counters.
     out = {{}}
     for pid in os.listdir("/proc"):
         if not pid.isdigit():
@@ -54,8 +58,9 @@ def proc_cpu():
                 parts = f.read().rsplit(")", 1)[1].split()
             with open(f"/proc/{{pid}}/comm") as f:
                 name = f.read().strip()
-            out[int(pid)] = (name, int(parts[11]) / TICK,
-                             int(parts[12]) / TICK)
+            out[int(pid)] = (name,
+                             (int(parts[11]) + int(parts[12])) / TICK,
+                             (int(parts[13]) + int(parts[14])) / TICK)
         except OSError:
             continue
     return out
@@ -78,11 +83,12 @@ p1 = proc_cpu()
 c1 = cpu_ticks()
 tot = max(1, c1[0] - c0[0])
 agg = {{}}
-for pid, (name, u1, s1) in p1.items():
-    u0, s0 = p0.get(pid, (name, 0.0, 0.0))[1:]
+for pid, (name, own1, kids1) in p1.items():
+    own0, kids0 = p0.get(pid, (name, 0.0, 0.0))[1:]
     kind = ("jvm" if name == "java"
             else "python" if name.startswith("python") else "other")
-    agg[kind] = agg.get(kind, 0.0) + (u1 - u0) + (s1 - s0)
+    agg[kind] = (agg.get(kind, 0.0)
+                 + (own1 - own0) + (kids1 - kids0))
 work = agg.get("jvm", 0.0) + agg.get("python", 0.0)
 print("RESULT " + json.dumps({{"cpus": cpus, "secs": round(dt, 2),
                                "triples": n,
