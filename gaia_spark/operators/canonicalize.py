@@ -144,12 +144,46 @@ def graph_nodes(canon_mentions: DataFrame) -> DataFrame:
 
 
 def graph_edges(triples: DataFrame) -> DataFrame:
-    """Canonical edge table: dedup (subj, pred, obj) with provenance agg."""
-    return (
-        triples.groupBy("subj", "pred", "obj")
+    """Canonical edge table: dedup (subj, pred, obj) with provenance agg.
+
+    Same sparse-duplicate split as dedup_triples, for a worse reason:
+    the provenance aggregate carries an ``approx_count_distinct`` whose
+    PARTIAL buffer is a per-group HLL sketch (~KB) — a full-width
+    groupBy ships one sketch per edge through the exchange, and most
+    edges have exactly one provenance row.  Single-provenance edges are
+    decided by an 8-byte-key count instead and pass through as a pure
+    projection (count=1, n_docs=1, max(conf)=conf — identical to the
+    aggregate's answer on a one-row group, HLL of one element is
+    exact); only multi-provenance edges take the sketch aggregate.
+    """
+    h = F.xxhash64("subj", "pred", "obj").alias("__h")
+    dup_hashes = (
+        triples.select(h)
+        .groupBy("__h").agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .select("__h")
+        .localCheckpoint()
+    )
+    hashed = triples.withColumn("__h", F.xxhash64("subj", "pred", "obj"))
+    if dup_hashes.count() > 4_000_000:
+        agg_in = triples
+        unique = None
+    else:
+        agg_in = hashed.join(F.broadcast(dup_hashes), "__h", "left_semi")
+        unique = (
+            hashed.join(F.broadcast(dup_hashes), "__h", "left_anti")
+            .select(
+                "subj", "pred", "obj", "conf",
+                F.lit(1).cast("bigint").alias("n_provenances"),
+                F.lit(1).cast("bigint").alias("n_docs"),
+            )
+        )
+    agged = (
+        agg_in.groupBy("subj", "pred", "obj")
         .agg(
             F.max("conf").alias("conf"),
             F.count(F.lit(1)).alias("n_provenances"),
             F.approx_count_distinct("url").alias("n_docs"),
         )
     )
+    return agged if unique is None else unique.unionByName(agged)

@@ -92,3 +92,32 @@ def test_all_duplicated(spark):
     got = dedup_triples(df, with_lang=True)
     assert got.count() == 8
     assert {r["lang"] for r in got.collect()} == {"en"}
+
+
+def test_graph_edges_matches_naive(spark):
+    """graph_edges' sparse split must equal the naive full aggregate,
+    including n_docs (HLL of a 1-element group is exact) and max(conf)
+    on multi-provenance edges."""
+    from gaia_spark.operators.canonicalize import graph_edges
+    rows = [
+        # edge A: 3 provenances, 2 distinct urls, confs 0.5/0.9/0.7
+        ("u1", 0, "Q1", "r", "Q2", "PER", "GPE", 0.5, "en"),
+        ("u2", 1, "Q1", "r", "Q2", "PER", "GPE", 0.9, "en"),
+        ("u2", 2, "Q1", "r", "Q2", "PER", "GPE", 0.7, "en"),
+        # edge B: single provenance
+        ("u3", 0, "Q3", "r", "Q4", "PER", "ORG", 0.6, "de"),
+    ]
+    df = spark.createDataFrame(rows, COLS).repartition(3)
+    got = {(r["subj"], r["pred"], r["obj"]):
+           (r["conf"], r["n_provenances"], r["n_docs"])
+           for r in graph_edges(df).collect()}
+    want = {(r["subj"], r["pred"], r["obj"]):
+            (r["conf"], r["n_provenances"], r["n_docs"])
+            for r in df.groupBy("subj", "pred", "obj").agg(
+                F.max("conf").alias("conf"),
+                F.count(F.lit(1)).alias("n_provenances"),
+                F.approx_count_distinct("url").alias("n_docs"),
+            ).collect()}
+    assert got == want
+    assert got[("Q1", "r", "Q2")] == (0.9, 3, 2)
+    assert got[("Q3", "r", "Q4")] == (0.6, 1, 1)
