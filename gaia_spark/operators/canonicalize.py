@@ -35,6 +35,10 @@ def canonical_triples(
 ) -> DataFrame:
     """relation/event rows → deduplicated canonical triple rows.
 
+    NOTE: construction is eager (the sparse-dedup split below runs a
+    key-count probe to decide broadcast vs full-aggregate), so calling
+    this builds and executes the upstream plan once.
+
     If ``assertions`` carries a ``lang`` column (the tagger passes the
     page language through — see TAG_FLAT_SCHEMA), the dedup keeps
     ``min(lang)`` per triple and the output needs NO post-hoc lang
