@@ -40,8 +40,11 @@ from pyspark.sql import functions as F
 # a bump a resume after upgrading would silently accept checkpoints
 # written in the old format.  "2": tagged stage moved from nested-array
 # TAGGED_SCHEMA to flat TAG_FLAT_SCHEMA; linked stage moved to distinct
-# surfaces.
-CODE_VERSION = "2"
+# surfaces.  "3": TAG_FLAT_SCHEMA gained `lang` and triples switched to
+# lang-carried-through-tagger semantics (min over producing copies) —
+# resuming over a v2 output dir must rebuild `tagged`, not crash on the
+# missing column or serve old-semantics triples.
+CODE_VERSION = "3"
 
 
 def stage_hash(stage: str, *inputs: str, config: str = "") -> str:

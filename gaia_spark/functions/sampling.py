@@ -60,13 +60,20 @@ def mixture_gate(rates_x10k: dict[str, int], default_x10k: int,
     ``rates_x10k`` maps source → basis-point keep rate; unlisted
     sources use ``default_x10k``.  The gate key is
     ``source || ':' || key`` so per-source samples are independent.
+
+    NULLs are coalesced to '' BEFORE hashing on both engines:
+    ``concat_ws`` silently skips NULL args while SQL ``||`` nulls the
+    whole key (dropping the row via WHERE) — without the sentinel the
+    two engines disagree on every NULL-source row.
     """
     rate = F.lit(default_x10k)
     for src in sorted(rates_x10k):
         rate = F.when(F.col(source_col) == src,
                       F.lit(rates_x10k[src])).otherwise(rate)
-    key = F.concat_ws(":", F.col(source_col),
-                      F.col(key_col).cast("string"))
+    key = F.concat_ws(
+        ":",
+        F.coalesce(F.col(source_col), F.lit("")),
+        F.coalesce(F.col(key_col).cast("string"), F.lit("")))
     return hash_gate(key, rate)
 
 
@@ -86,11 +93,17 @@ def sql_mixture_sample_where(rates_x10k: dict[str, int],
                              default_x10k: int,
                              source_col: str = "source",
                              key_col: str = "doc_id") -> str:
-    """DuckDB WHERE fragment matching mixture_sample."""
+    """DuckDB WHERE fragment matching mixture_sample.
+
+    Source names are escaped (' → '') before interpolation; the key
+    coalesces NULLs to '' to match the Spark gate exactly.
+    """
     whens = " ".join(
-        f"WHEN {source_col} = '{src}' THEN {rates_x10k[src]}"
+        "WHEN {c} = '{s}' THEN {r}".format(
+            c=source_col, s=src.replace("'", "''"), r=rates_x10k[src])
         for src in sorted(rates_x10k)
     )
     rate = f"CASE {whens} ELSE {default_x10k} END"
-    key = f"{source_col} || ':' || {key_col}::VARCHAR"
+    key = (f"coalesce({source_col}, '') || ':' || "
+           f"coalesce({key_col}::VARCHAR, '')")
     return sql_hash_gate(key, rate)

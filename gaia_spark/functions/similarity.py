@@ -70,6 +70,17 @@ def cosine_topk(
 
     → (query_id, neighbor_id, rank, sim_x10k); self-matches excluded;
     rank by (sim desc, neighbor_id asc) — total order, deterministic.
+
+    Shape: the |corpus|×|queries| sim rows are reduced to ≤ k rows per
+    (query, scan partition) BEFORE the global window — a bounded
+    Arrow-batched per-partition reducer (mapInPandas, cross-batch
+    top-k accumulation), so the final shuffle carries at most
+    k·partitions rows per query instead of funneling the whole cross
+    product into ≤ |queries| window partitions.  Local top-k under the
+    (sim desc, neighbor_id asc) total order is prefix-closed, so the
+    global result is still exact; `sim` passes through the Arrow
+    round-trip bit-identically (float64), keeping the DuckDB oracle
+    hash-stable.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -82,11 +93,26 @@ def cosine_topk(
     sims = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .withColumn("sim", cosine_col(F.col("qv"), F.col("cv")))
+        .select("query_id", "neighbor_id", "sim")
     )
+
+    def local_topk(batches):
+        state = None
+        for pdf in batches:
+            both = pdf if state is None else pd.concat(
+                [state, pdf], ignore_index=True)
+            both = both.sort_values(
+                ["query_id", "sim", "neighbor_id"],
+                ascending=[True, False, True], kind="mergesort")
+            state = both.groupby("query_id", sort=False).head(k)
+        if state is not None:
+            yield state
+
+    pruned = sims.mapInPandas(local_topk, schema=sims.schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id"))
     return (
-        sims.withColumn("rank", F.row_number().over(w))
+        pruned.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             "query_id", "neighbor_id", "rank",

@@ -99,18 +99,26 @@ def dedup_triples(joined: DataFrame, with_lang: bool) -> DataFrame:
        this exact branch) and for recrawl copies that disagree on
        ``lang`` (min over copies, partitioning-independent).
 
-    The pass-through branch re-executes ``joined`` (cheap: broadcast
-    joins over a checkpointed/parquet input) instead of materializing
-    it — two narrow scans beat one full-row exchange.
+    The hashed input is ``localCheckpoint``-ed ONCE and the probe +
+    both branches read that single materialization.  This is a
+    node-local cache write (MEMORY_AND_DISK blocks — no exchange, no
+    network), and it is what makes the split EXACT for any upstream,
+    including nondeterministic ones (sample, mono_id, a shuffle
+    recomputed after task loss): re-executing ``joined`` per branch
+    would let a row change hash between the probe and the anti-join
+    and leak a duplicate into the pass-through slice.
 
     Fallback: if the duplicated slice is NOT sparse (> ~4M distinct
     duplicated hashes — a recrawl-heavy corpus), broadcasting it would
     hurt, so the classic full-row aggregate is used instead.  The
     probe costs one tiny action on the already-aggregated hash side.
     """
-    h = F.xxhash64(*TRIPLE_COLS).alias("__h")
+    hashed = (
+        joined.withColumn("__h", F.xxhash64(*TRIPLE_COLS))
+        .localCheckpoint()  # single materialization for probe + branches
+    )
     dup_hashes = (
-        joined.select(h)
+        hashed.select("__h")
         .groupBy("__h").agg(F.count(F.lit(1)).alias("__n"))
         .filter(F.col("__n") > 1)
         .select("__h")
@@ -118,10 +126,9 @@ def dedup_triples(joined: DataFrame, with_lang: bool) -> DataFrame:
     )
     if dup_hashes.count() > 4_000_000:
         if with_lang:
-            return joined.groupBy(TRIPLE_COLS).agg(
+            return hashed.groupBy(TRIPLE_COLS).agg(
                 F.min("lang").alias("lang"))
-        return joined.dropDuplicates(TRIPLE_COLS)
-    hashed = joined.withColumn("__h", F.xxhash64(*TRIPLE_COLS))
+        return hashed.select(TRIPLE_COLS).dropDuplicates(TRIPLE_COLS)
     out_cols = TRIPLE_COLS + (["lang"] if with_lang else [])
     unique = hashed.join(F.broadcast(dup_hashes), "__h", "left_anti")
     dup_slice = hashed.join(F.broadcast(dup_hashes), "__h", "left_semi")
@@ -160,17 +167,19 @@ def graph_edges(triples: DataFrame) -> DataFrame:
     aggregate's answer on a one-row group, HLL of one element is
     exact); only multi-provenance edges take the sketch aggregate.
     """
-    h = F.xxhash64("subj", "pred", "obj").alias("__h")
+    hashed = (
+        triples.withColumn("__h", F.xxhash64("subj", "pred", "obj"))
+        .localCheckpoint()  # single materialization — see dedup_triples
+    )
     dup_hashes = (
-        triples.select(h)
+        hashed.select("__h")
         .groupBy("__h").agg(F.count(F.lit(1)).alias("__n"))
         .filter(F.col("__n") > 1)
         .select("__h")
         .localCheckpoint()
     )
-    hashed = triples.withColumn("__h", F.xxhash64("subj", "pred", "obj"))
     if dup_hashes.count() > 4_000_000:
-        agg_in = triples
+        agg_in = hashed
         unique = None
     else:
         agg_in = hashed.join(F.broadcast(dup_hashes), "__h", "left_semi")

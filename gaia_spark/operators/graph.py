@@ -1,9 +1,13 @@
-"""J5 — connected components as a bounded hash-min label-propagation loop.
+"""J5 — connected components as a hash-min + pointer-doubling loop.
 
 Needed by NIL clustering (T4b), event coref (T10), and — if ever built —
 visual coref (V5); SURVEY.md §2.6.  No GraphFrames dependency: labels
-are propagated with plain joins + min() aggregations, converging in
-O(log n) rounds on the short-chain graphs alias clusters form.
+are propagated with plain joins + min() aggregations.  Each round does
+(a) a one-hop edge propagation AND (b) a pointer-doubling step
+(component ← component-of-component), so convergence is O(log diameter)
+— a 10k-node chain closes in ~14 rounds, not 10k.  Hitting ``max_iter``
+with changes still pending raises instead of silently returning split
+components.
 
 Determinism: the component label is the lexicographic min node id — an
 order-free aggregate, so the result is identical under any partitioning,
@@ -87,8 +91,15 @@ def connected_components(
     computation runs as driver-side union-find (the edge table is the
     *similarity graph over distinct surfaces*, orders of magnitude
     smaller than the corpus — at small scale the distributed loop
-    would be pure scheduling overhead); above it, the bounded hash-min
-    label-propagation loop below handles arbitrarily large graphs.
+    would be pure scheduling overhead); above it, the distributed
+    hash-min + pointer-doubling loop below handles arbitrarily large
+    graphs in O(log diameter) rounds.
+
+    Raises ``RuntimeError`` if the distributed loop has not converged
+    after ``max_iter`` rounds — a partial labeling is a wrong answer,
+    never a degraded one (a component silently split in two corrupts
+    every downstream keeper election / cluster merge).  With pointer
+    doubling the default 25 rounds covers diameters up to ~2^25.
     """
     # materialize the symmetric edge table ONCE — without this the
     # whole upstream edge pipeline (blocking + similarity UDFs) would
@@ -112,15 +123,29 @@ def connected_components(
             nodes.select(F.col("node"))).distinct()
     labels = node_df.withColumn("component", F.col("node")).localCheckpoint()
 
+    converged = False
     for _ in range(max_iter):
+        # (a) one-hop hash-min: pull each neighbor's current label
         prop = (
             sym.join(labels, sym.dst == labels.node)
             .select(sym.src.alias("node"), "component")
         )
-        new_labels = (
+        hopped = (
             labels.unionByName(prop)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
+        )
+        # (b) pointer doubling: component ← component's own component.
+        # Every label IS a node id (labels start as node, min() keeps
+        # them in the node set), so the self-join always hits; the
+        # left+coalesce is belt-and-braces.  This halves the distance
+        # to the component root each round → O(log diameter) total.
+        ptr = hopped.select(F.col("node").alias("p_node"),
+                            F.col("component").alias("p_comp"))
+        new_labels = (
+            hopped.join(ptr, hopped.component == ptr.p_node, "left")
+            .select(hopped.node,
+                    F.coalesce("p_comp", "component").alias("component"))
             .localCheckpoint()
         )
         changed = (
@@ -132,7 +157,13 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: not converged after {max_iter} "
+            f"rounds over {n_edges} edges — refusing to return a "
+            "partial (split-component) labeling; raise max_iter")
     return labels
 
 

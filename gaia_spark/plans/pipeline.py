@@ -259,7 +259,17 @@ def build_triples_df(
     # point, so measure it directly: vocabulary-sized → static
     # broadcast hint (no assertion-side exchange at all); genuinely
     # huge vocabularies fall through to the adaptive sort-merge path.
-    if cmap.count() <= 2_000_000:
+    # The gate is BYTES, not rows: 2M rows of wide canonical strings
+    # can blow past the 64MB broadcast budget a row count can't see,
+    # and the static hint bypasses autoBroadcastJoinThreshold entirely.
+    # One cheap agg over the already-materialized checkpoint gives the
+    # exact payload size (string bytes + ~48B/row struct overhead).
+    sz = cmap.agg(
+        F.coalesce(F.sum(
+            F.length("coarse") + F.length("link_norm")
+            + F.length("canonical") + F.lit(48)), F.lit(0)).alias("b")
+    ).collect()[0]["b"]
+    if sz <= 48 * 1024 * 1024:
         cmap = F.broadcast(cmap)
     # T6/T8/T9 were computed per-doc inside the tag_flat pass
     # (oracle-exact); the 'a' slice of the cached flat table IS the

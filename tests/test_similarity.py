@@ -130,3 +130,36 @@ def test_ivf_large_geometry_plan_is_small(spark):
     e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     a = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
     assert len(a & e) / len(e) >= 0.8
+
+
+def test_cosine_topk_plan_has_partial_topk_before_window(spark, emb_df):
+    """The per-partition bounded reducer (MapInPandas) must sit between
+    the sim computation and the global window exchange, so the window
+    shuffle carries ≤ k·partitions rows per query — the advertised
+    partial top-k, not a full cross-product funnel."""
+    plan = sim.cosine_topk(
+        emb_df, emb_df.filter(F.col("vec_id") < 5), 3
+    )._jdf.queryExecution().executedPlan().toString()
+    i_map = plan.find("MapInPandas")
+    i_win = plan.find("Window")
+    assert i_map != -1, plan
+    assert i_win != -1, plan
+    # executedPlan prints top-down: Window (consumer) above MapInPandas
+    assert i_win < i_map, plan
+
+
+def test_cosine_topk_exact_across_many_partitions(spark, emb_df):
+    """Partial top-k must stay exact when the corpus is split so that
+    per-partition candidate sets are much smaller than k coverage."""
+    scattered = emb_df.repartition(16)
+    got = sim.cosine_topk(scattered, emb_df.filter(F.col("vec_id") < 4), 6)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r.query_id, []).append(
+            (r.rank, r.neighbor_id, r.sim_x10k))
+    for qid in range(4):
+        want = _numpy_topk(qid, 6)
+        got_q = sorted(by_q[qid])
+        assert [n for _, n, _ in got_q] == [n for n, _ in want]
+        for (_, _, sx), (_, s) in zip(got_q, want):
+            assert sx == int(np.floor(1e4 * s))
