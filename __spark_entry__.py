@@ -216,23 +216,40 @@ def rel_distinct(spark, sf_dir):
         "l_returnflag", "l_linestatus").distinct()
 
 
-def rel_union(spark, sf_dir):
-    """unionByName of heterogeneous sources with a provenance tag."""
+def rel_set_ops(spark, sf_dir):
+    """UNION / EXCEPT / INTERSECT in a single driver slot.
+
+    The driver's correctness artifact records at most 50 queries; the
+    three set operators share one entry (tagged union of their results)
+    so every oracled query fits inside the cap.  Branches: heterogeneous
+    unionByName with a provenance tag, parts never ordered (EXCEPT
+    DISTINCT), nations with both customers and suppliers (INTERSECT).
+    """
     c = _t(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("side"))
+        F.col("c_nationkey").alias("nationkey"),
+        F.lit("customer").alias("side"))
     s = _t(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("side"))
-    return (c.unionByName(s).groupBy("nationkey", "side")
-            .agg(F.count(F.lit(1)).alias("n")))
-
-
-def rel_except(spark, sf_dir):
-    """Set difference: parts never ordered (EXCEPT DISTINCT)."""
+        F.col("s_nationkey").alias("nationkey"),
+        F.lit("supplier").alias("side"))
+    u = (c.unionByName(s).groupBy("nationkey", "side")
+         .agg(F.count(F.lit(1)).alias("n"))
+         .select(F.lit("union").alias("op"),
+                 F.col("nationkey").cast("bigint").alias("k"),
+                 "side", "n"))
     p = _t(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("partkey"))
     li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").alias("partkey"))
-    return p.subtract(li)
+    e = p.subtract(li).select(
+        F.lit("except").alias("op"),
+        F.col("partkey").cast("bigint").alias("k"),
+        F.lit("").alias("side"), F.lit(1).cast("bigint").alias("n"))
+    i = (c.select("nationkey").intersect(s.select("nationkey"))
+         .select(F.lit("intersect").alias("op"),
+                 F.col("nationkey").cast("bigint").alias("k"),
+                 F.lit("").alias("side"),
+                 F.lit(1).cast("bigint").alias("n")))
+    return u.unionByName(e).unionByName(i)
 
 
 def rel_string_funcs(spark, sf_dir):
@@ -498,15 +515,6 @@ def rel_cube(spark, sf_dir):
              F.sum(_dec("l_extendedprice")).cast("double")
              .alias("sum_base"))
     )
-
-
-def rel_intersect(spark, sf_dir):
-    """INTERSECT: nations with both customers and suppliers."""
-    c = _t(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").alias("nationkey"))
-    s = _t(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("nationkey"))
-    return c.intersect(s)
 
 
 def rel_pivot(spark, sf_dir):
@@ -996,7 +1004,16 @@ def graph_pagerank(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry, ORDER MATTERS: the driver's correctness artifact
+    records the first 50 entries in dict order (CORRECTNESS_r02
+    captured exactly registry positions 1-50), so the 50 DuckDB-oracled
+    queries come first and the 8 non-SQL-expressible entries (3
+    hash-specific approximations with numpy/recall oracles in pytest,
+    5 KG rows-only queries oracled exactly by gaia_ref under pytest)
+    sit at the tail — see COVERAGE.md for each tail row's
+    strongest-available oracle."""
     return {
+        # --- oracled (50 = driver artifact cap) ------------------
         # relational primitives (SURVEY.md §2.4)
         "rel_pricing_summary": rel_pricing_summary,
         "rel_top_revenue_orders": rel_top_revenue_orders,
@@ -1009,8 +1026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_window_running_sum": rel_window_running_sum,
         "rel_rollup": rel_rollup,
         "rel_distinct": rel_distinct,
-        "rel_union": rel_union,
-        "rel_except": rel_except,
+        "rel_set_ops": rel_set_ops,
         "rel_string_funcs": rel_string_funcs,
         "rel_date_buckets": rel_date_buckets,
         "rel_json_extract": rel_json_extract,
@@ -1026,40 +1042,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_map_funcs": rel_map_funcs,
         "rel_udtf_tokens": rel_udtf_tokens,
         "rel_cube": rel_cube,
-        "rel_intersect": rel_intersect,
         "rel_pivot": rel_pivot,
         "rel_in_subquery": rel_in_subquery,
-        "text_winnow": text_winnow,
+        "rel_connected_components": rel_connected_components,
         # training-data pipeline
+        "text_winnow": text_winnow,
         "text_quality": text_quality,
         "text_lang_dist": text_lang_dist,
+        "text_repetition": text_repetition,
+        "text_decontaminate": text_decontaminate,
         "dedup_exact": dedup_exact,
         "dedup_jaccard": dedup_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_resolve": dedup_resolve,
-        "dedup_simhash": dedup_simhash,
         "dedup_simhash_recipe": dedup_simhash_recipe,
+        "dedup_chunks": dedup_chunks,
         "ann_cosine_topk": ann_cosine_topk,
-        "ann_lsh_topk": ann_lsh_topk,
-        "ann_ivf_topk": ann_ivf_topk,
         "emb_dup_pairs": emb_dup_pairs,
         "media_meta": media_meta,
         "media_ldcc": media_ldcc,
-        "text_repetition": text_repetition,
-        "dedup_chunks": dedup_chunks,
-        "text_decontaminate": text_decontaminate,
         "webtext_curate": webtext_curate,
         "web_urls": web_urls,
         "pack_sequences": pack_sequences,
         "graph_pagerank": graph_pagerank,
         "sample_mixture": sample_mixture,
-        # KG construction (rows-only; oracled by gaia_ref under pytest)
+        # --- non-SQL-expressible tail (strongest oracles in pytest:
+        # numpy cross-impl / recall bounds / gaia_ref exact-set) -----
+        "dedup_simhash": dedup_simhash,
+        "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
         "kg_extract_text": kg_extract_text,
         "kg_mentions": kg_mentions,
         "kg_pipeline_triples": kg_pipeline_triples,
         "kg_graph_edges": kg_graph_edges,
         "kg_event_coref": kg_event_coref,
-        "rel_connected_components": rel_connected_components,
     }
 
 
@@ -1172,18 +1188,24 @@ def oracle_sql() -> dict[str, str]:
     sql["rel_distinct"] = \
         "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
 
-    sql["rel_union"] = """
-        SELECT nationkey, side, count(*) AS n FROM (
+    sql["rel_set_ops"] = """
+        SELECT 'union' AS op, nationkey::BIGINT AS k, side,
+               count(*)::BIGINT AS n
+        FROM (
           SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
           UNION ALL
           SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier)
         GROUP BY nationkey, side
-    """
-
-    sql["rel_except"] = """
-        SELECT p_partkey AS partkey FROM part
-        EXCEPT
-        SELECT l_partkey AS partkey FROM lineitem
+        UNION ALL
+        SELECT 'except', partkey::BIGINT, '', 1::BIGINT FROM (
+          SELECT p_partkey AS partkey FROM part
+          EXCEPT
+          SELECT l_partkey AS partkey FROM lineitem)
+        UNION ALL
+        SELECT 'intersect', nationkey::BIGINT, '', 1::BIGINT FROM (
+          SELECT c_nationkey AS nationkey FROM customer
+          INTERSECT
+          SELECT s_nationkey AS nationkey FROM supplier)
     """
 
     sql["rel_string_funcs"] = """
@@ -1278,12 +1300,6 @@ def oracle_sql() -> dict[str, str]:
                     AS DOUBLE) AS sum_base
         FROM lineitem
         GROUP BY CUBE (l_returnflag, l_linestatus)
-    """
-
-    sql["rel_intersect"] = """
-        SELECT c_nationkey AS nationkey FROM customer
-        INTERSECT
-        SELECT s_nationkey AS nationkey FROM supplier
     """
 
     sql["rel_pivot"] = """
