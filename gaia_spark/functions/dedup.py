@@ -429,9 +429,19 @@ def chunk_dedup_stats(df: DataFrame, chunk: int = 100,
     more than once corpus-wide (same-doc repeats count, as in CCNet's
     shard-level paragraph dedup).
 
-    Two shuffles at any scale: the map-side-combined groupBy on the
-    32-byte chunk hash (corpus-wide counts) and the groupBy back on
-    doc_id.  → (doc_id, n_chunks, n_dup_chunks, dup_chunk_frac_x10k).
+    Sparse-duplicate shape (same split as canonicalize.dedup_triples):
+    most chunks are corpus-unique, so re-shuffling the FULL chunk
+    table by hash just to learn "count = 1" is the expensive no-op.
+    Instead the (rare) duplicated hashes — the >1-count slice of the
+    map-side-combined groupBy(h) — are broadcast back onto the chunk
+    stream as a flag; unique chunks never touch a hash-keyed exchange
+    a second time.  One corpus-wide exchange total carries actual
+    rows: the groupBy(doc_id), and that one ships per-doc PARTIAL
+    COUNTS after map-side combine, not chunks.  Fallback: a
+    recrawl-heavy corpus with > ~4M duplicated hashes reverts to the
+    classic freq join (broadcasting that slice would hurt).
+
+    → (doc_id, n_chunks, n_dup_chunks, dup_chunk_frac_x10k).
     """
     from gaia_spark.functions.text_analysis import SCALE
 
@@ -451,13 +461,27 @@ def chunk_dedup_stats(df: DataFrame, chunk: int = 100,
             )
         ).alias("h"),
     )
-    freq = chunks.groupBy("h").agg(F.count(F.lit(1)).alias("n_global"))
+    dup_hashes = (
+        chunks.groupBy("h").agg(F.count(F.lit(1)).alias("n_global"))
+        .filter(F.col("n_global") > 1)
+        .select("h")
+        .localCheckpoint()
+    )
+    if dup_hashes.count() > 4_000_000:
+        freq = chunks.groupBy("h").agg(
+            F.count(F.lit(1)).alias("n_global"))
+        marked = chunks.join(freq, "h").select(
+            "doc_id", (F.col("n_global") > 1).alias("is_dup"))
+    else:
+        marked = chunks.join(
+            F.broadcast(dup_hashes.withColumn("__d", F.lit(1))),
+            "h", "left"
+        ).select("doc_id", F.col("__d").isNotNull().alias("is_dup"))
     return (
-        chunks.join(freq, "h")
-        .groupBy("doc_id")
+        marked.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
-            F.sum(F.when(F.col("n_global") > 1, F.lit(1))
+            F.sum(F.when(F.col("is_dup"), F.lit(1))
                   .otherwise(F.lit(0))).alias("n_dup_chunks"),
         )
         .select(

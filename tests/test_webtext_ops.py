@@ -71,6 +71,20 @@ class TestChunkDedup:
         assert got[1]["dup_chunk_frac_x10k"] == 5000
         assert got[2]["n_chunks"] == 2 and got[2]["n_dup_chunks"] == 1
 
+    def test_plan_sparse_split_one_exchange(self, spark):
+        """Unique chunks must never re-shuffle: the sparse branch's
+        final plan carries ONE exchange (the doc_id partial-count agg)
+        plus the broadcast dup-hash flag join — not a second
+        corpus-wide hash-keyed join of the full chunk table."""
+        df = spark.createDataFrame(
+            [(i, f"doc {i} " * 30) for i in range(50)],
+            "doc_id long, text string")
+        plan = chunk_dedup_stats(df)._jdf.queryExecution()\
+            .executedPlan().toString()
+        n_exchange = plan.count("Exchange hashpartitioning")
+        assert n_exchange <= 1, plan
+        assert "BroadcastHashJoin" in plan, plan
+
     def test_within_doc_repeat_counts(self, spark):
         df = spark.createDataFrame(
             [(1, "r" * 200)], "doc_id long, text string")
