@@ -884,6 +884,41 @@ def dedup_chunks(spark, sf_dir):
     return dd.chunk_dedup_stats(d.unionByName(mirrored))
 
 
+def streaming_dedup(spark, sf_dir):
+    """Structured-Streaming stateful exact dedup, driver-visible.
+
+    Runs the REAL streaming operator (applyInPandasWithState,
+    first-seen-wins keyed by the batch-identical content fingerprint —
+    gaia_spark/streaming/__init__.py) over a file-source stream of the
+    documents table with trigger(availableNow=True), drains into a
+    memory sink, and returns the keeper rows.  Rows-only by necessity:
+    cross-micro-batch first-seen state has no DuckDB equivalent; the
+    equivalence against batch dedup and the multi-batch/restart
+    semantics are pinned in tests/test_streaming.py.
+    """
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    from gaia_spark.streaming import streaming_exact_dedup
+
+    # documents.parquet is a single file; the file stream source
+    # needs a directory basePath, so stream the parent dir filtered
+    # to that one file
+    src = (spark.readStream.schema(docs.schema)
+           .option("pathGlobFilter", "documents.parquet")
+           .parquet(sf_dir))
+    out = streaming_exact_dedup(src)
+    ckpt = tempfile.mkdtemp(prefix="gaia_stream_dedup_")
+    q = (out.writeStream.format("memory")
+         .queryName("streaming_dedup_out")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .outputMode("append")
+         .start())
+    q.awaitTermination()
+    return spark.table("streaming_dedup_out")
+
+
 def web_urls(spark, sf_dir):
     """URL parse + per-registered-domain rollup over synthesized
     deterministic urls (documents carry no url column): host/TLD/path
@@ -1076,6 +1111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pipeline_triples": kg_pipeline_triples,
         "kg_graph_edges": kg_graph_edges,
         "kg_event_coref": kg_event_coref,
+        "streaming_dedup": streaming_dedup,
     }
 
 
