@@ -140,6 +140,26 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # Iceberg: no runtime jar ships in this sandbox, but if one is
+    # provided (SPARK_GRAFT_ICEBERG_JAR=/path/to/
+    # iceberg-spark-runtime-*.jar) the session auto-configures a
+    # hadoop-type catalog and gaia_spark.catalog upgrades its writes
+    # to native `writeTo(...).createOrReplace()` with spec
+    # (lang, bucket(url)) — see catalog.iceberg_available.
+    ice_jar = os.environ.get("SPARK_GRAFT_ICEBERG_JAR")
+    if ice_jar and os.path.exists(ice_jar):
+        b = (
+            b.config("spark.jars", ice_jar)
+            .config("spark.sql.extensions",
+                    "org.apache.iceberg.spark.extensions."
+                    "IcebergSparkSessionExtensions")
+            .config("spark.sql.catalog.gaia_ice",
+                    "org.apache.iceberg.spark.SparkCatalog")
+            .config("spark.sql.catalog.gaia_ice.type", "hadoop")
+            .config("spark.sql.catalog.gaia_ice.warehouse",
+                    os.environ.get("SPARK_GRAFT_ICEBERG_WAREHOUSE",
+                                   "/tmp/gaia_ice_warehouse"))
+        )
     # cluster mode: ship the same worker malloc tuning to executors
     for k, v in WORKER_MALLOC_ENV.items():
         b = b.config(f"spark.executorEnv.{k}", v)
