@@ -884,6 +884,46 @@ def dedup_chunks(spark, sf_dir):
     return dd.chunk_dedup_stats(d.unionByName(mirrored))
 
 
+def _pii_injected(spark, sf_dir):
+    """documents + deterministic synthetic PII (the corpus ships none):
+    every doc gains an email, every 3rd a phone, every 5th an IPv4 —
+    injected identically in the SQL twin so detection/redaction stay
+    exact-oracle-checkable."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id").cast("string")
+    return d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"), did, F.lit("@example.com"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit(" tel +1 555 00"), did))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.lit(" at 192.168."),
+                            (F.col("doc_id") % 250).cast("string"),
+                            F.lit(".17")))
+            .otherwise(F.lit("")),
+        ))
+
+
+def text_pii(spark, sf_dir):
+    """PII scrub pass: per-doc email/phone/IPv4 counts + md5 of the
+    redacted text (verifies replacement bytes, not just counts).
+    Cross-engine-exact regex subset — see functions/pii.py."""
+    from gaia_spark.functions import pii
+    return pii.pii_stats(_pii_injected(spark, sf_dir))
+
+
+def text_lm(spark, sf_dir):
+    """Unigram-LM fluency scoring in exact integer centibits (the
+    KenLM-style language gate; functions/lm.py): per-doc token count,
+    total and mean surprisal under an embedded background model."""
+    from gaia_spark.functions import lm
+    return lm.lm_score(_t(spark, sf_dir, "documents")
+                       .select("doc_id", "text"))
+
+
 def streaming_dedup(spark, sf_dir):
     """Structured-Streaming stateful exact dedup, driver-visible.
 
@@ -1101,6 +1141,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": pack_sequences,
         "graph_pagerank": graph_pagerank,
         "sample_mixture": sample_mixture,
+        # --- oracled but beyond the 50-row driver artifact cap:
+        # exact DuckDB twins exist and tools/selfcheck.py verifies
+        # them every run — they just don't fit the driver's window ---
+        "text_pii": text_pii,
+        "text_lm": text_lm,
         # --- non-SQL-expressible tail (strongest oracles in pytest:
         # numpy cross-impl / recall bounds / gaia_ref exact-set) -----
         "dedup_simhash": dedup_simhash,
@@ -1651,4 +1696,20 @@ def oracle_sql() -> dict[str, str]:
     sql["graph_pagerank"] = _sql_pr(
         "SELECT 's' || l_suppkey AS src, 'p' || l_partkey AS dst "
         "FROM lineitem WHERE l_orderkey < 2000", iters=3)
+    from gaia_spark.functions.lm import sql_lm_score
+    from gaia_spark.functions.pii import sql_pii_stats
+    injected = """(
+      SELECT doc_id,
+             text || ' contact: user' || doc_id::VARCHAR
+                  || '@example.com'
+                  || CASE WHEN doc_id % 3 = 0
+                          THEN ' tel +1 555 00' || doc_id::VARCHAR
+                          ELSE '' END
+                  || CASE WHEN doc_id % 5 = 0
+                          THEN ' at 192.168.'
+                               || (doc_id % 250)::VARCHAR || '.17'
+                          ELSE '' END AS text
+      FROM documents) d"""
+    sql["text_pii"] = sql_pii_stats(injected)
+    sql["text_lm"] = sql_lm_score("documents")
     return sql
