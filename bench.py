@@ -107,7 +107,13 @@ def main() -> None:
 
     # breadth: EVERY registered query gets a per-round timing so
     # regressions are visible per operator, not just on the headline
-    # set (kg_* entries synthesize their own small corpus internally)
+    # set (kg_* entries synthesize their own small corpus internally).
+    # The kg_* queries share one cached triples build; materialize it
+    # as its own TIMED entry first so whichever kg query sorts first
+    # (kg_event_coref) isn't charged for the corpus build it happens
+    # to trigger.
+    timed("kg_synth_triples_warm",
+          lambda: entrymod._synth_triples(spark).count())
     for name in sorted(qs):
         if name in timings:
             continue
