@@ -31,7 +31,7 @@ def canonical_map(canon_mentions: DataFrame) -> DataFrame:
 
 
 def canonical_triples(
-    assertions: DataFrame, cmap: DataFrame
+    assertions: DataFrame, cmap: DataFrame, stable_input: bool = False
 ) -> DataFrame:
     """relation/event rows → deduplicated canonical triple rows.
 
@@ -70,10 +70,12 @@ def canonical_triples(
             *(["lang"] if with_lang else []),
         )
     )
-    return dedup_triples(joined, with_lang=with_lang)
+    return dedup_triples(joined, with_lang=with_lang,
+                         stable_input=stable_input)
 
 
-def dedup_triples(joined: DataFrame, with_lang: bool) -> DataFrame:
+def dedup_triples(joined: DataFrame, with_lang: bool,
+                  stable_input: bool = False) -> DataFrame:
     """Exact triple dedup that shuffles 8-byte KEYS, not rows.
 
     A naive ``groupBy(TRIPLE_COLS)`` exchanges the full triple rows —
@@ -99,8 +101,8 @@ def dedup_triples(joined: DataFrame, with_lang: bool) -> DataFrame:
        this exact branch) and for recrawl copies that disagree on
        ``lang`` (min over copies, partitioning-independent).
 
-    The hashed input is ``localCheckpoint``-ed ONCE and the probe +
-    both branches read that single materialization.  This is a
+    By default the hashed input is ``localCheckpoint``-ed ONCE and the
+    probe + both branches read that single materialization.  This is a
     node-local cache write (MEMORY_AND_DISK blocks — no exchange, no
     network), and it is what makes the split EXACT for any upstream,
     including nondeterministic ones (sample, mono_id, a shuffle
@@ -108,15 +110,24 @@ def dedup_triples(joined: DataFrame, with_lang: bool) -> DataFrame:
     would let a row change hash between the probe and the anti-join
     and leak a duplicate into the pass-through slice.
 
+    ``stable_input=True`` skips that materialization: the caller
+    asserts ``joined`` re-executes bit-identically (every source
+    already checkpointed/parquet + deterministic row-wise transforms —
+    exactly the build_triples_df case, whose join inputs are both
+    localCheckpoint blocks).  On a memory-bandwidth-bound box the skip
+    saves writing + re-reading the full triple table (two narrow scans
+    of already-materialized inputs beat one extra full-width cache
+    pass).
+
     Fallback: if the duplicated slice is NOT sparse (> ~4M distinct
     duplicated hashes — a recrawl-heavy corpus), broadcasting it would
     hurt, so the classic full-row aggregate is used instead.  The
     probe costs one tiny action on the already-aggregated hash side.
     """
-    hashed = (
-        joined.withColumn("__h", F.xxhash64(*TRIPLE_COLS))
-        .localCheckpoint()  # single materialization for probe + branches
-    )
+    hashed = joined.withColumn("__h", F.xxhash64(*TRIPLE_COLS))
+    if not stable_input:
+        # single materialization serving probe + both branches
+        hashed = hashed.localCheckpoint()
     dup_hashes = (
         hashed.select("__h")
         .groupBy("__h").agg(F.count(F.lit(1)).alias("__n"))
@@ -154,7 +165,7 @@ def graph_nodes(canon_mentions: DataFrame) -> DataFrame:
     )
 
 
-def graph_edges(triples: DataFrame) -> DataFrame:
+def graph_edges(triples: DataFrame, stable_input: bool = False) -> DataFrame:
     """Canonical edge table: dedup (subj, pred, obj) with provenance agg.
 
     Same sparse-duplicate split as dedup_triples, for a worse reason:
@@ -167,10 +178,10 @@ def graph_edges(triples: DataFrame) -> DataFrame:
     aggregate's answer on a one-row group, HLL of one element is
     exact); only multi-provenance edges take the sketch aggregate.
     """
-    hashed = (
-        triples.withColumn("__h", F.xxhash64("subj", "pred", "obj"))
-        .localCheckpoint()  # single materialization — see dedup_triples
-    )
+    hashed = triples.withColumn("__h", F.xxhash64("subj", "pred", "obj"))
+    if not stable_input:
+        # single materialization — see dedup_triples
+        hashed = hashed.localCheckpoint()
     dup_hashes = (
         hashed.select("__h")
         .groupBy("__h").agg(F.count(F.lit(1)).alias("__n"))

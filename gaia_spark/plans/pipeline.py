@@ -136,9 +136,11 @@ def run_pipeline(
     # the tagged stage (TAG_FLAT_SCHEMA), so no re-attach join
     h_tri = stage_hash("triples", h_tag, h_nil, h_link, config=conf)
     def _triples():
+        # stable_input: both sides read parquet checkpoints, so the
+        # dedup split re-executes the scan instead of re-materializing
         triples = canonical_triples(
             flat_assertions(cat.read(spark, "tagged"), with_lang=True),
-            _cmap())
+            _cmap(), stable_input=True)
         return clean_kb(
             triples, spark.read.parquet(pages_path),
             suppress_validation=suppress_validation)
@@ -161,7 +163,8 @@ def run_pipeline(
     step("nodes", h_nodes, _nodes)
     h_edges = stage_hash("edges", h_tri)
     step("edges", h_edges,
-         lambda: graph_edges(cat.read(spark, "triples")))
+         lambda: graph_edges(cat.read(spark, "triples"),
+                             stable_input=True))
 
     return results
 
@@ -281,7 +284,10 @@ def build_triples_df(
     # vacuous on this path (every assertion url IS a page url by
     # construction), leaving only the row-level validity predicate.
     assertions = flat_assertions(tagged, with_lang=True)
-    triples = canonical_triples(assertions, cmap)
+    # stable_input: both join inputs (tagged, cmap) are localCheckpoint
+    # blocks, so the dedup split may re-execute the cheap broadcast
+    # joins instead of materializing the full triple table again
+    triples = canonical_triples(assertions, cmap, stable_input=True)
     if not suppress_validation:
         from gaia_spark.operators.cleankb import valid_triples
         triples = valid_triples(triples)
