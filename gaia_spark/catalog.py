@@ -284,6 +284,44 @@ class Catalog:
             return spark.table(m["iceberg_table"])
         return spark.read.parquet(self.data_path(name))
 
+    # -- bucketed tables ----------------------------------------------------
+
+    def write_bucketed(self, df: DataFrame, name: str,
+                       bucket_key: str, n_buckets: int = 16,
+                       sort_by: str | None = None) -> str:
+        """Bucketed managed table for CO-LOCATED joins.
+
+        Two tables bucketed on the same key with the same bucket count
+        join with ZERO exchanges: each task zips bucket i with bucket
+        i.  This is the 100 TB answer to any join that repeats across
+        runs (triples ⋈ node stats, edges ⋈ ranks per PageRank
+        iteration, pair re-verification against postings): pay the
+        shuffle ONCE at write time, never at read time.  Plain
+        ``spark.read.parquet`` cannot express this — bucket metadata
+        lives in the table catalog, hence ``saveAsTable``.  Returns the
+        table identifier (``gaia_b_<name>``).
+
+        Kept separate from the run_id checkpoint tables: bucketed
+        tables are the long-lived, re-joined artifacts; checkpoints
+        are per-run.
+        """
+        tbl = f"gaia_b_{name}"
+        path = os.path.join(os.path.abspath(self.root),
+                            f"bucketed_{name}")
+        spark = df.sparkSession
+        # external table rooted under THIS catalog (not the session
+        # warehouse), so a stale location from a killed run can't
+        # collide and rm -rf of the catalog root cleans everything
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        w = (df.write.mode("overwrite").format("parquet")
+             .option("path", path)
+             .bucketBy(n_buckets, bucket_key)
+             .sortBy(sort_by or bucket_key))
+        w.saveAsTable(tbl)
+        return tbl
+
     def lineage(self, spark: SparkSession) -> DataFrame:
         """All current tables' per-partition lineage as one DataFrame."""
         rows = []
