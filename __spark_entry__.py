@@ -884,6 +884,28 @@ def dedup_chunks(spark, sf_dir):
     return dd.chunk_dedup_stats(d.unionByName(mirrored))
 
 
+def rel_percentiles(spark, sf_dir):
+    """Exact percentiles (median/p90) of integer-cent prices per
+    return flag: Spark's exact `percentile` and DuckDB's
+    `quantile_cont` share linear-interpolation semantics, and
+    integer-cent inputs keep the interpolated values exactly
+    representable — so the oracle is hash-exact.  (percentile_approx
+    is the 100 TB variant; its t-digest output is engine-specific, so
+    the exact kernel carries the oracle and approx stays a plan
+    choice.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = (_dec("l_extendedprice") * 100).cast("bigint")
+    return (
+        li.select("l_returnflag", cents.alias("cents"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(cents, 0.5)").alias("p50_cents"),
+            F.expr("percentile(cents, 0.9)").alias("p90_cents"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
 def _pii_injected(spark, sf_dir):
     """documents + deterministic synthetic PII (the corpus ships none):
     every doc gains an email, every 3rd a phone, every 5th an IPv4 —
@@ -1146,6 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # them every run — they just don't fit the driver's window ---
         "text_pii": text_pii,
         "text_lm": text_lm,
+        "rel_percentiles": rel_percentiles,
         # --- non-SQL-expressible tail (strongest oracles in pytest:
         # numpy cross-impl / recall bounds / gaia_ref exact-set) -----
         "dedup_simhash": dedup_simhash,
@@ -1712,4 +1735,16 @@ def oracle_sql() -> dict[str, str]:
       FROM documents) d"""
     sql["text_pii"] = sql_pii_stats(injected)
     sql["text_lm"] = sql_lm_score("documents")
+    sql["rel_percentiles"] = """
+        SELECT l_returnflag,
+               quantile_cont(cents, 0.5) AS p50_cents,
+               quantile_cont(cents, 0.9) AS p90_cents,
+               count(*) AS n
+        FROM (
+          SELECT l_returnflag,
+                 (CAST(l_extendedprice AS DECIMAL(18,2)) * 100)
+                   ::BIGINT AS cents
+          FROM lineitem)
+        GROUP BY l_returnflag
+    """
     return sql
