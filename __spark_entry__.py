@@ -946,6 +946,51 @@ def text_lm(spark, sf_dir):
                        .select("doc_id", "text"))
 
 
+#: fixed BM25 query-term set (terms occur in the synthetic vocabulary)
+_BM25_TERMS = ["spark", "vector", "customer", "window"]
+
+
+def text_bm25(spark, sf_dir):
+    """BM25 keyword retrieval: top-20 docs for a fixed term set.
+    Corpus stats (N, avgdl, df) reduce to ONE broadcast row; tf is
+    computed in-row (no token explode); top-k is a
+    TakeOrderedAndProject — see functions/retrieval.py."""
+    from gaia_spark.functions import retrieval
+    return retrieval.bm25_topk(
+        _t(spark, sf_dir, "documents"), _BM25_TERMS)
+
+
+def text_vocab(spark, sf_dir):
+    """Vocabulary-coverage curve: top-50 tokens by corpus frequency
+    with cumulative coverage (the tokenizer/vocab-build diagnostic).
+    One map-side-combined token shuffle; everything downstream is
+    O(V)."""
+    return ta.vocab_coverage(_t(spark, sf_dir, "documents"), top_v=50)
+
+
+def dedup_spans(spark, sf_dir):
+    """Cross-document duplicated 8-token-window detection (exact-
+    substring dedup signal, Lee et al. 2022).  The corpus has no
+    natural cross-doc spans, so every 5th doc gains a truncated
+    mirror (first 200 chars) — originals then show PARTIAL duplicated
+    fractions, mirrors full ones, everything else 0."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    partial = (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .select((F.col("doc_id") + 10_000_000).alias("doc_id"),
+                F.substring("text", 1, 200).alias("text")))
+    return dd.dup_span_stats(d.unionByName(partial))
+
+
+def sample_stratified(spark, sf_dir):
+    """Exact-quota stratified sample (40 docs per lang), md5-ranked:
+    the hash-gate prefilter keeps the per-stratum window off the full
+    corpus — see functions/sampling.py:stratified_sample."""
+    from gaia_spark.functions import sampling
+    return sampling.stratified_sample(
+        _t(spark, sf_dir, "documents"), quota=40)
+
+
 def streaming_dedup(spark, sf_dir):
     """Structured-Streaming stateful exact dedup, driver-visible.
 
@@ -1169,6 +1214,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii": text_pii,
         "text_lm": text_lm,
         "rel_percentiles": rel_percentiles,
+        "text_bm25": text_bm25,
+        "text_vocab": text_vocab,
+        "dedup_spans": dedup_spans,
+        "sample_stratified": sample_stratified,
         # --- non-SQL-expressible tail (strongest oracles in pytest:
         # numpy cross-impl / recall bounds / gaia_ref exact-set) -----
         "dedup_simhash": dedup_simhash,
@@ -1735,6 +1784,15 @@ def oracle_sql() -> dict[str, str]:
       FROM documents) d"""
     sql["text_pii"] = sql_pii_stats(injected)
     sql["text_lm"] = sql_lm_score("documents")
+    from gaia_spark.functions import retrieval as _rt
+    sql["text_bm25"] = _rt.sql_bm25_topk("documents", _BM25_TERMS)
+    sql["text_vocab"] = ta.sql_vocab_coverage("documents", top_v=50)
+    sql["dedup_spans"] = dd.sql_dup_span_stats(
+        "(SELECT doc_id, text FROM documents UNION ALL "
+        "SELECT doc_id + 10000000, substr(text, 1, 200) "
+        "FROM documents WHERE doc_id % 5 = 0)")
+    sql["sample_stratified"] = _sp.sql_stratified_sample(
+        "documents", quota=40)
     sql["rel_percentiles"] = """
         SELECT l_returnflag,
                quantile_cont(cents, 0.5) AS p50_cents,

@@ -519,3 +519,122 @@ SELECT doc_id, count(*)::BIGINT AS n_chunks,
 FROM chunks JOIN freq USING (h)
 GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# duplicated token-span detection (exact-substring dedup, the
+# Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+# Better" signal at fixed window width: a W-token window occurring in
+# more than one document marks memorization-prone boilerplate)
+# ---------------------------------------------------------------------------
+
+def dup_span_stats(df: DataFrame, w: int = 8,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-doc CROSS-document duplicated ``w``-token-window statistics.
+
+    A window occurrence is duplicated iff its md5 occurs in ≥ 2
+    DISTINCT documents (within-doc repetition is repetition_stats'
+    job; cross-doc spans are the dedup signal).  Spread is detected
+    with min(doc) ≠ max(doc) — two longs per hash after map-side
+    combine, never a count(distinct doc).
+
+    Sparse-duplicate shape (same split as chunk_dedup_stats): almost
+    every window hash is corpus-unique, so the cross-doc slice of the
+    groupBy(h) — tiny by construction — broadcasts back onto the span
+    stream as a flag; unique spans never touch a hash-keyed exchange
+    a second time.  The only exchange carrying per-doc rows is the
+    final groupBy(doc_id), which ships map-side-combined partial
+    counts.  Fallback above 4M duplicated hashes: classic freq join.
+
+    → (doc_id, n_spans, n_dup_spans, dup_span_frac_x10k); docs with
+    fewer than ``w`` tokens report 0 spans.
+    """
+    from gaia_spark.functions.text_analysis import SCALE
+
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda t: t != "")
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    spans_arr = F.when(
+        F.size("toks") >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - w + 1),
+            lambda i: F.md5(F.concat_ws(
+                " ", *[F.element_at("toks", i + j) for j in range(w)])),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    spans = base.select(
+        "doc_id", F.size("toks").alias("n_toks"),
+        F.explode_outer(spans_arr).alias("h"))
+    cross = (
+        spans.filter(F.col("h").isNotNull())
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("d_min"), F.max("doc_id").alias("d_max"))
+        .filter(F.col("d_min") != F.col("d_max"))
+        .select("h")
+        .localCheckpoint()
+    )
+    if cross.count() > 4_000_000:
+        spread = spans.filter(F.col("h").isNotNull()).groupBy("h").agg(
+            (F.min("doc_id") != F.max("doc_id")).alias("is_dup"))
+        marked = spans.join(spread, "h", "left")
+        is_dup = F.coalesce(F.col("is_dup"), F.lit(False))
+    else:
+        marked = spans.join(
+            F.broadcast(cross.withColumn("__d", F.lit(1))), "h", "left")
+        is_dup = F.col("__d").isNotNull()
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("h").isNotNull(), F.lit(1))
+                  .otherwise(F.lit(0))).alias("n_spans"),
+            F.sum(F.when(is_dup & F.col("h").isNotNull(), F.lit(1))
+                  .otherwise(F.lit(0))).alias("n_dup_spans"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_spans").cast("bigint").alias("n_spans"),
+            F.col("n_dup_spans").cast("bigint").alias("n_dup_spans"),
+            F.floor(F.lit(SCALE) * F.col("n_dup_spans").cast("double")
+                    / F.greatest("n_spans", F.lit(1)).cast("double"))
+            .alias("dup_span_frac_x10k"),
+        )
+    )
+
+
+def sql_dup_span_stats(rel: str, w: int = 8,
+                       text_col: str = "text",
+                       id_col: str = "doc_id",
+                       where: str = "TRUE") -> str:
+    """DuckDB twin of dup_span_stats (same windows, same spread rule)."""
+    from gaia_spark.functions.text_analysis import SCALE
+
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_id,
+         list_filter(string_split_regex(lower({text_col}), '\\s+'),
+                     t -> t <> '') AS toks
+  FROM {rel} WHERE {where}
+), spans AS (
+  SELECT doc_id,
+         md5(array_to_string(toks[i:i + {w - 1}], ' ')) AS h
+  FROM base, unnest(range(1, greatest(len(toks) - {w}, -1) + 2)) AS u(i)
+), spread AS (
+  SELECT h FROM spans GROUP BY h HAVING min(doc_id) <> max(doc_id)
+), marked AS (
+  SELECT s.doc_id, s.h, (spread.h IS NOT NULL) AS is_dup
+  FROM spans s LEFT JOIN spread ON s.h = spread.h
+)
+SELECT base.doc_id,
+       coalesce(m.n_spans, 0)::BIGINT AS n_spans,
+       coalesce(m.n_dup, 0)::BIGINT AS n_dup_spans,
+       floor({SCALE} * coalesce(m.n_dup, 0)::DOUBLE
+             / greatest(coalesce(m.n_spans, 0), 1))::BIGINT
+         AS dup_span_frac_x10k
+FROM base
+LEFT JOIN (
+  SELECT doc_id, count(*) AS n_spans,
+         sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_dup
+  FROM marked GROUP BY doc_id
+) m USING (doc_id)
+"""

@@ -107,3 +107,89 @@ def sql_mixture_sample_where(rates_x10k: dict[str, int],
     key = (f"coalesce({source_col}, '') || ':' || "
            f"coalesce({key_col}::VARCHAR, '')")
     return sql_hash_gate(key, rate)
+
+
+def stratified_sample(df: DataFrame, quota: int,
+                      stratum_col: str = "lang",
+                      key_col: str = "doc_id") -> DataFrame:
+    """Exact-quota deterministic stratified sample: the ``quota``
+    smallest md5-ranked keys per stratum.
+
+    → (stratum, key, rk), rk = 1..quota; rank by (md5(stratum:key),
+    key) — a total order, so the cut is reproducible across runs,
+    engines, and partitionings.
+
+    Scale shape: a naive row_number() over partitionBy(stratum) funnels
+    10^12 rows into |strata| window partitions (strata are LOW
+    cardinality — the exact skew trap).  Instead the md5 gate
+    prefilters each stratum to ~4x its quota BEFORE the window: the
+    per-stratum counts are one map-side-combined aggregate (|strata|
+    rows, broadcast back), the gate threshold keeps rate ≈
+    4·quota/count, and the exact window then runs over the tiny
+    survivor set only.  The gate is part of the CONTRACT (both engines
+    apply it), so a stratum where the 4x oversample undershoots the
+    quota — astronomically unlikely at scale, detectable by rk <
+    quota — returns the same short sample on both engines rather than
+    diverging.  Strata smaller than the quota pass the gate entirely
+    (rate caps at 10^4) and return all their rows.
+    """
+    counts = (df.groupBy(F.col(stratum_col).alias("stratum"))
+              .agg(F.count(F.lit(1)).alias("n_rows")))
+    # floor() on both engines — Spark's cast(bigint) truncates while
+    # DuckDB's ::BIGINT rounds, so a raw cast would diverge on any
+    # fractional rate
+    rate = F.least(
+        F.lit(RATE_DEN).cast("bigint"),
+        F.floor(F.lit(4 * quota * RATE_DEN) / F.col("n_rows")) + 1)
+    gate_key = F.concat_ws(
+        ":",
+        F.coalesce(F.col("stratum"), F.lit("")),
+        F.coalesce(F.col("key").cast("string"), F.lit("")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("stratum").orderBy("h", "key")
+    survivors = (
+        df.select(F.col(stratum_col).alias("stratum"),
+                  F.col(key_col).alias("key"))
+        .join(F.broadcast(counts), "stratum")
+        .withColumn("h", F.md5(gate_key))
+        .filter(
+            (F.conv(F.substring(F.col("h"), 1, 8), 16, 10)
+             .cast("bigint") % RATE_DEN) < rate)
+    )
+    return (
+        survivors.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= quota)
+        .select("stratum", "key", "rk")
+    )
+
+
+def sql_stratified_sample(rel: str, quota: int,
+                          stratum_col: str = "lang",
+                          key_col: str = "doc_id") -> str:
+    """DuckDB twin of stratified_sample (gate included — the 4x
+    oversample prefilter is part of the sampling contract)."""
+    gate_key = (f"coalesce({stratum_col}, '') || ':' || "
+                f"coalesce({key_col}::VARCHAR, '')")
+    return f"""
+WITH counts AS (
+  SELECT {stratum_col} AS stratum, count(*)::BIGINT AS n_rows
+  FROM {rel} GROUP BY {stratum_col}
+), survivors AS (
+  SELECT r.{stratum_col} AS stratum, r.{key_col} AS key,
+         md5({gate_key.replace(stratum_col, 'r.' + stratum_col)
+              .replace(key_col, 'r.' + key_col)}) AS h
+  FROM {rel} r JOIN counts c ON r.{stratum_col} = c.stratum
+  WHERE (('0x' || substr(md5({gate_key.replace(stratum_col,
+                                               'r.' + stratum_col)
+                              .replace(key_col, 'r.' + key_col)}),
+          1, 8))::BIGINT % {RATE_DEN})
+        < least({RATE_DEN}::BIGINT,
+                floor({4 * quota * RATE_DEN} / c.n_rows)::BIGINT + 1)
+)
+SELECT stratum, key, rk FROM (
+  SELECT stratum, key,
+         row_number() OVER (PARTITION BY stratum
+                            ORDER BY h, key) AS rk
+  FROM survivors
+) WHERE rk <= {quota}
+"""

@@ -405,3 +405,79 @@ def sql_lang_id(col: str = "text") -> str:
         f"WHEN {score[lang]} = {best} THEN '{lang}'" for lang in langs
     )
     return f"CASE WHEN {best} = 0 THEN 'und' {whens} ELSE 'und' END"
+
+
+# ---------------------------------------------------------------------------
+# vocabulary coverage (tokenizer/vocab construction diagnostics)
+# ---------------------------------------------------------------------------
+
+def vocab_coverage(df: DataFrame, top_v: int = 100,
+                   text_col: str = "text") -> DataFrame:
+    """Top-``top_v`` tokens by corpus frequency with cumulative
+    coverage — the curve a tokenizer/vocab build reads off ("how much
+    of the corpus do the first V types cover?").
+
+    → (rank, token, n, cum_cov_x10k); rank by (n desc, token asc) —
+    a total order, deterministic across engines.
+
+    Scale shape: tokens explode once into a groupBy(token) with
+    map-side combine — the Zipf head ("the") partial-aggregates inside
+    each task, so the exchange carries ≤ |vocab| rows per task, not
+    corpus token occurrences.  The global top-V is a
+    TakeOrderedAndProject; the cumulative window then runs over V rows
+    only (V ≪ anything), and the corpus-total token count broadcasts
+    as a 1-row aggregate.  Nothing downstream of the single
+    token-keyed exchange depends on corpus size.
+    """
+    from pyspark.sql import Window
+
+    from gaia_spark.functions.retrieval import WORD_SPLIT_RE
+
+    toks = F.filter(F.split(F.lower(F.col(text_col)),
+                            WORD_SPLIT_RE),
+                    lambda t: t != "")
+    freq = (
+        df.select(F.explode(toks).alias("token"))
+        .groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = freq.agg(F.sum("n").alias("n_total"))
+    top = (freq.orderBy(F.col("n").desc(), "token").limit(top_v)
+           .join(F.broadcast(total)))
+    w = (Window.orderBy(F.col("n").desc(), "token")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return top.select(
+        F.row_number().over(
+            Window.orderBy(F.col("n").desc(), "token")).alias("rank"),
+        "token", "n",
+        F.floor(F.lit(SCALE) * F.sum("n").over(w).cast("double")
+                / F.col("n_total").cast("double"))
+        .alias("cum_cov_x10k"),
+    )
+
+
+def sql_vocab_coverage(rel: str, top_v: int = 100,
+                       text_col: str = "text") -> str:
+    """DuckDB twin of vocab_coverage."""
+    from gaia_spark.functions.retrieval import WORD_SPLIT_RE
+
+    return f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower({text_col}),
+                                               '{WORD_SPLIT_RE}'),
+                            t -> t <> '')) AS token
+  FROM {rel}
+), freq AS (
+  SELECT token, count(*)::BIGINT AS n FROM toks GROUP BY token
+), total AS (
+  SELECT sum(n)::BIGINT AS n_total FROM freq
+), top AS (
+  SELECT token, n FROM freq ORDER BY n DESC, token LIMIT {top_v}
+)
+SELECT row_number() OVER (ORDER BY n DESC, token) AS rank,
+       token, n,
+       floor({SCALE} * (sum(n) OVER (ORDER BY n DESC, token
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW))::DOUBLE
+             / n_total::DOUBLE)::BIGINT AS cum_cov_x10k
+FROM top, total
+"""
