@@ -991,6 +991,45 @@ def sample_stratified(spark, sf_dir):
         _t(spark, sf_dir, "documents"), quota=40)
 
 
+def web_link_graph(spark, sf_dir):
+    """Outlink extraction → weighted host-level link graph over
+    deterministic synthesized html (documents carry no html column):
+    regexp_extract_all + explode stay in-row/JVM-side, one map-side-
+    combined shuffle keyed by (src_host, dst_host) — see
+    functions/web.py:extract_outlinks/host_link_graph."""
+    from gaia_spark.functions import web
+    d = (_t(spark, sf_dir, "documents")
+         .withColumn("url", web.synth_url(F.col("doc_id"),
+                                          F.col("source")))
+         .withColumn("html", web.synth_html(F.col("doc_id"),
+                                            F.col("source"),
+                                            F.col("text"))))
+    return web.host_link_graph(
+        web.extract_outlinks(web.with_url_parts(d)))
+
+
+def web_host_cap(spark, sf_dir):
+    """Per-host document cap (C4-style one-doc-per-host policy): the
+    high-cardinality-strata variant of the oversample-gate sampler —
+    counts re-attach by shuffle join (AQE skew-split), never a
+    broadcast — see functions/sampling.py:domain_cap."""
+    from gaia_spark.functions import sampling, web
+    d = web.with_url_parts(
+        _t(spark, sf_dir, "documents").withColumn(
+            "url", web.synth_url(F.col("doc_id"), F.col("source"))))
+    return sampling.domain_cap(d, cap=1)
+
+
+def sample_dsir(spark, sf_dir):
+    """DSIR importance scores (target = lang 'en', hashed-unigram
+    buckets): histogram pass reduces to N_BUCKETS rows, scoring pass
+    is exchange-free in-row codegen over a literal log-ratio array —
+    see functions/importance.py."""
+    from gaia_spark.functions import importance
+    return importance.dsir_scores(
+        _t(spark, sf_dir, "documents"), F.col("lang") == "en")
+
+
 def streaming_dedup(spark, sf_dir):
     """Structured-Streaming stateful exact dedup, driver-visible.
 
@@ -1218,6 +1257,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab": text_vocab,
         "dedup_spans": dedup_spans,
         "sample_stratified": sample_stratified,
+        "web_link_graph": web_link_graph,
+        "web_host_cap": web_host_cap,
+        "sample_dsir": sample_dsir,
         # --- non-SQL-expressible tail (strongest oracles in pytest:
         # numpy cross-impl / recall bounds / gaia_ref exact-set) -----
         "dedup_simhash": dedup_simhash,
@@ -1793,6 +1835,14 @@ def oracle_sql() -> dict[str, str]:
         "FROM documents WHERE doc_id % 5 = 0)")
     sql["sample_stratified"] = _sp.sql_stratified_sample(
         "documents", quota=40)
+    sql["web_link_graph"] = _web.sql_host_link_graph(
+        f"SELECT {_web.sql_synth_url()} AS url, "
+        f"{_web.sql_synth_html()} AS html FROM documents")
+    sql["web_host_cap"] = _sp.sql_domain_cap(
+        f"(SELECT doc_id, lower(regexp_extract({_web.sql_synth_url()},"
+        f" '^[a-z]+://([^/?#]+)', 1)) AS host FROM documents)", cap=1)
+    from gaia_spark.functions import importance as _imp
+    sql["sample_dsir"] = _imp.sql_dsir_scores("documents", "lang = 'en'")
     sql["rel_percentiles"] = """
         SELECT l_returnflag,
                quantile_cont(cents, 0.5) AS p50_cents,

@@ -193,3 +193,78 @@ SELECT stratum, key, rk FROM (
   FROM survivors
 ) WHERE rk <= {quota}
 """
+
+
+def domain_cap(df: DataFrame, cap: int,
+               domain_col: str = "host",
+               key_col: str = "doc_id") -> DataFrame:
+    """Per-domain document cap (C4/Gopher-style site policy): keep the
+    ``cap`` smallest md5-ranked keys per domain, drop the rest.
+
+    Same gate contract as stratified_sample — the 4x-oversample md5
+    gate prefilters each domain before the exact window — but built
+    for HIGH-cardinality Zipf-skewed strata (10^8 registered domains
+    at crawl scale), where the counts table cannot broadcast:
+
+    - counts: one map-side-combined aggregate (|domains| rows);
+    - counts re-attach: a shuffle join keyed by domain — AQE's skew
+      handling splits the mega-domain on the probe side, and the join
+      output immediately gates down to ~4·cap rows per domain, so the
+      downstream window never sees a skewed partition;
+    - window: over survivors only (≤ ~4·cap expected per domain).
+
+    → (domain, key, rk), rk = 1..cap.  Domains smaller than the cap
+    pass whole (gate rate saturates at 10^4).
+    """
+    counts = (df.groupBy(F.col(domain_col).alias("domain"))
+              .agg(F.count(F.lit(1)).alias("n_rows")))
+    rate = F.least(
+        F.lit(RATE_DEN).cast("bigint"),
+        F.floor(F.lit(4 * cap * RATE_DEN) / F.col("n_rows")) + 1)
+    gate_key = F.concat_ws(
+        ":",
+        F.coalesce(F.col("domain"), F.lit("")),
+        F.coalesce(F.col("key").cast("string"), F.lit("")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("domain").orderBy("h", "key")
+    survivors = (
+        df.select(F.col(domain_col).alias("domain"),
+                  F.col(key_col).alias("key"))
+        .join(counts, "domain")
+        .withColumn("h", F.md5(gate_key))
+        .filter(
+            (F.conv(F.substring(F.col("h"), 1, 8), 16, 10)
+             .cast("bigint") % RATE_DEN) < rate)
+    )
+    return (
+        survivors.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= cap)
+        .select("domain", "key", "rk")
+    )
+
+
+def sql_domain_cap(rel: str, cap: int,
+                   domain_col: str = "host",
+                   key_col: str = "doc_id") -> str:
+    """DuckDB twin of domain_cap (gate included — same contract)."""
+    gate_key = (f"coalesce(r.{domain_col}, '') || ':' || "
+                f"coalesce(r.{key_col}::VARCHAR, '')")
+    return f"""
+WITH counts AS (
+  SELECT {domain_col} AS domain, count(*)::BIGINT AS n_rows
+  FROM {rel} GROUP BY {domain_col}
+), survivors AS (
+  SELECT r.{domain_col} AS domain, r.{key_col} AS key,
+         md5({gate_key}) AS h
+  FROM {rel} r JOIN counts c ON r.{domain_col} = c.domain
+  WHERE (('0x' || substr(md5({gate_key}), 1, 8))::BIGINT % {RATE_DEN})
+        < least({RATE_DEN}::BIGINT,
+                floor({4 * cap * RATE_DEN} / c.n_rows)::BIGINT + 1)
+)
+SELECT domain, key, rk FROM (
+  SELECT domain, key,
+         row_number() OVER (PARTITION BY domain
+                            ORDER BY h, key) AS rk
+  FROM survivors
+) WHERE rk <= {cap}
+"""

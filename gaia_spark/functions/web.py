@@ -134,3 +134,96 @@ SELECT registered_domain,
 FROM ({inner})
 GROUP BY registered_domain
 """
+
+
+# ---------------------------------------------------------------------------
+# outlink extraction → host-level link graph
+# ---------------------------------------------------------------------------
+
+#: absolute-href anchor matcher (syntax common to Java regex and RE2;
+#: used verbatim in the DuckDB twin)
+ANCHOR_RE = r'<a href="(https?://[^"]+)"'
+
+
+def synth_html(doc_id: Column, source: Column, text: Column) -> Column:
+    """Deterministic html wrapper with 1–2 absolute outlinks, for
+    tables that carry text but no html.  Link targets are synth_url
+    at derived doc ids, so the resulting host graph is nontrivial
+    (Zipf-ish in-degree via the % 1000 fold)."""
+    a1 = synth_url((doc_id * 31 + 1) % 1000, source)
+    a2 = synth_url((doc_id * 17 + 2) % 1000, source)
+    return F.concat(
+        F.lit("<html><body><p>"), F.substring(text, 1, 120),
+        F.lit('</p><a href="'), a1, F.lit('">a</a>'),
+        F.when(doc_id % 3 == 0,
+               F.concat(F.lit('<a href="'), a2, F.lit('">b</a>')))
+        .otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+
+
+def sql_synth_html(doc_id: str = "doc_id", source: str = "source",
+                   text: str = "text") -> str:
+    a1 = sql_synth_url(f"(({doc_id} * 31 + 1) % 1000)", source)
+    a2 = sql_synth_url(f"(({doc_id} * 17 + 2) % 1000)", source)
+    return (
+        f"'<html><body><p>' || substr({text}, 1, 120)"
+        f" || '</p><a href=\"' || {a1} || '\">a</a>'"
+        f" || CASE WHEN {doc_id} % 3 = 0 THEN"
+        f" '<a href=\"' || {a2} || '\">b</a>' ELSE '' END"
+        f" || '</body></html>'"
+    )
+
+
+def extract_outlinks(df: DataFrame, html_col: str = "html",
+                     src_host_col: str = "host") -> DataFrame:
+    """(src_host, dst_host) edge stream from absolute hrefs.
+
+    regexp_extract_all + explode are narrow JVM ops (whole-stage
+    codegen); the html column never enters a shuffle — only the two
+    host strings leave the row.  Self-links (same host) are dropped.
+    """
+    links = df.select(
+        F.col(src_host_col).alias("src_host"),
+        F.explode(F.regexp_extract_all(
+            F.col(html_col), F.lit(ANCHOR_RE), F.lit(1))).alias("link"),
+    )
+    return (
+        links.withColumn(
+            "dst_host",
+            F.lower(F.regexp_extract("link", HOST_RE, 1)))
+        .filter(F.col("dst_host") != F.col("src_host"))
+        .select("src_host", "dst_host")
+    )
+
+
+def host_link_graph(edges: DataFrame) -> DataFrame:
+    """Weighted host-level link graph: one map-side-combined shuffle
+    keyed by (src_host, dst_host).  The output is PageRank-ready
+    (operators/graph.py) and is the standard web-curation side input
+    (domain authority, spam neighborhoods)."""
+    return (
+        edges.groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+
+
+def sql_host_link_graph(pages: str) -> str:
+    """DuckDB twin over a ``pages`` relation with (url, html)."""
+    return f"""
+WITH parts AS (
+  SELECT lower(regexp_extract(url, '{HOST_RE}', 1)) AS src_host, html
+  FROM ({pages})
+), links AS (
+  SELECT src_host,
+         unnest(regexp_extract_all(html, '{ANCHOR_RE}', 1)) AS link
+  FROM parts
+), edges AS (
+  SELECT src_host,
+         lower(regexp_extract(link, '{HOST_RE}', 1)) AS dst_host
+  FROM links
+)
+SELECT src_host, dst_host, count(*)::BIGINT AS weight
+FROM edges WHERE dst_host <> src_host
+GROUP BY src_host, dst_host
+"""
