@@ -128,6 +128,14 @@ def main() -> None:
     n_hi = int(sys.argv[3]) if len(sys.argv) > 3 else 4 * n_lo
     repeats = int(sys.argv[4]) if len(sys.argv) > 4 else 1
     sys.path.insert(0, REPO)
+    # default to the realistic page-length profile (10-60 sentences ≈
+    # Common-Crawl) so probe rows are comparable round-over-round; the
+    # short fixture (1-20) must be asked for explicitly.  Two r3 rows
+    # were accidentally measured on the short fixture when this
+    # defaulted from the ambient env — the profile is now recorded in
+    # every output row.
+    os.environ.setdefault("SPARK_GRAFT_SENTS", "10-60")
+    sents = os.environ["SPARK_GRAFT_SENTS"]
     from bench import corpus_dir
     cdir = corpus_dir(n_docs)
 
@@ -146,7 +154,7 @@ def main() -> None:
     d_lo, d_hi = n_docs / t_lo, n_docs / t_hi
     eff = (d_hi / d_lo) / (n_hi / n_lo)
     result = {
-        "n_docs": n_docs, "cores": [n_lo, n_hi],
+        "n_docs": n_docs, "sents": sents, "cores": [n_lo, n_hi],
         f"local{n_lo}_secs": t_lo,
         f"local{n_lo}_docs_per_sec": round(d_lo, 1),
         f"local{n_hi}_secs": t_hi,
@@ -184,7 +192,7 @@ def main() -> None:
                     "| when | kernel | docs | cores | T(N) s | T(4N) s "
                     "| eff | interference |\n"
                     "|---|---|---|---|---|---|---|---|\n")
-        f.write(f"| probe | {pinned} | {n_docs} | {n_lo}->{n_hi} "
+        f.write(f"| probe | {pinned} | {n_docs} s{sents} | {n_lo}->{n_hi} "
                 f"| {t_lo} | {t_hi} | {round(eff, 3)} "
                 f"| steal {result['steal_pct']}%, host-busy "
                 f"{result['host_busy_cores']} cores, util "
