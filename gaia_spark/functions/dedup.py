@@ -638,3 +638,43 @@ LEFT JOIN (
   FROM marked GROUP BY doc_id
 ) m USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# cross-snapshot delta dedup (crawl-refresh ingestion)
+# ---------------------------------------------------------------------------
+
+def snapshot_delta(new_df: DataFrame, old_df: DataFrame,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Rows of ``new_df`` whose content is absent from ``old_df``.
+
+    The standard crawl-refresh operator: when a new snapshot (e.g. a
+    monthly Common-Crawl dump) lands, only content-new documents enter
+    the pipeline.  Both sides are projected to their md5 content
+    fingerprints BEFORE the join, so the shuffle carries 32-byte hex
+    keys (plus the id on the new side) — document text never moves,
+    which is the property that matters when both snapshots are ~100 TB.
+    The old side is deduplicated first (fingerprint set, map-side
+    combined); the anti-join is a plain shuffled join on the
+    fingerprint, which AQE converts to broadcast when the old side's
+    distinct set is small.
+
+    → (doc_id, fp) for content-new documents.
+    """
+    newf = new_df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.md5(F.col(text_col)).alias("fp"))
+    oldf = old_df.select(F.md5(F.col(text_col)).alias("fp")).distinct()
+    return newf.join(oldf, "fp", "left_anti").select("doc_id", "fp")
+
+
+def sql_snapshot_delta(new_rel: str, old_rel: str,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> str:
+    """DuckDB twin of snapshot_delta (NOT IN over the old fp set)."""
+    return f"""
+SELECT {id_col}::BIGINT AS doc_id, md5({text_col}) AS fp
+FROM ({new_rel})
+WHERE md5({text_col}) NOT IN (SELECT md5({text_col}) FROM ({old_rel}))
+"""

@@ -227,3 +227,114 @@ SELECT src_host, dst_host, count(*)::BIGINT AS weight
 FROM edges WHERE dst_host <> src_host
 GROUP BY src_host, dst_host
 """
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (dedup key for crawl frontiers / url-level dedup)
+# ---------------------------------------------------------------------------
+
+#: query params dropped by canonicalization (tracking noise); prefix
+#: syntax shared verbatim with the DuckDB twin
+TRACKING_PARAM_RE = r"^(utm_|gclid=|fbclid=|ref=)"
+#: scheme + query twins (lowercase-scheme http(s) — same documented
+#: exactness domain as HOST_RE/PATH_RE above)
+SCHEME_RE = r"^([a-z]+)://"
+QUERY_RE = r"\?(.*)$"
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of a url, the key for url-level dedup.
+
+    Steps (all pure column expressions — whole-stage codegen, no
+    Python, nothing leaves the row):
+
+    1. strip the fragment (``#...``),
+    2. lowercase scheme and host, strip a leading ``www.``,
+    3. strip trailing ``/`` runs from the path,
+    4. drop tracking params (utm_*/gclid/fbclid/ref) and SORT the
+       survivors, so param order never splits a dedup group.
+
+    Exact cross-engine (sql_canonicalize_cte) on lowercase-scheme
+    http(s) urls without userinfo/port — the documented domain of
+    HOST_RE; outside it the twin is approximate, like with_url_parts.
+    """
+    no_frag = F.regexp_replace(url, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(no_frag, SCHEME_RE, 1))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(no_frag, HOST_RE, 1)), r"^www\.", "")
+    path = F.regexp_replace(
+        F.regexp_extract(no_frag, PATH_RE, 1), "/+$", "")
+    q = F.regexp_extract(no_frag, QUERY_RE, 1)
+    keep = F.filter(
+        F.split(q, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE))
+    qs = F.array_join(F.array_sort(keep), "&")
+    return F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")))
+
+
+def synth_messy_url(doc_id: Column, source: Column) -> Column:
+    """Deterministic messy url whose CANONICAL form depends only on
+    (source, doc_id % 40): the base url and the surviving params are
+    derived from the folded key k, while trailing slash, tracking
+    param, param ORDER, and fragment vary with the full doc_id — so
+    distinct raw urls genuinely collapse to shared canonical dedup
+    keys (the property the web_canonical query exercises)."""
+    k = doc_id % 40
+    head = F.concat(
+        synth_url(k, source),
+        F.when(doc_id % 4 == 0, F.lit("/")).otherwise(F.lit("")))
+    utm = F.concat(F.lit("utm_source=s"), (doc_id % 7).cast("string"))
+    idp = F.concat(F.lit("id="), (k % 5).cast("string"))
+    b = F.when(k % 2 == 0, F.lit("&b=2")).otherwise(F.lit(""))
+    q = F.when(
+        doc_id % 2 == 0, F.concat(utm, F.lit("&"), idp, b)
+    ).otherwise(F.concat(idp, b, F.lit("&"), utm))
+    frag = F.when(doc_id % 6 == 0, F.lit("#frag")).otherwise(F.lit(""))
+    return F.concat(head, F.lit("?"), q, frag)
+
+
+def sql_synth_messy_url(doc_id: str = "doc_id",
+                        source: str = "source") -> str:
+    k = f"({doc_id} % 40)"
+    utm = f"'utm_source=s' || ({doc_id} % 7)::VARCHAR"
+    idp = f"'id=' || ({k} % 5)::VARCHAR"
+    b = f"CASE WHEN {k} % 2 = 0 THEN '&b=2' ELSE '' END"
+    return (
+        f"{sql_synth_url(k, source)}"
+        f" || CASE WHEN {doc_id} % 4 = 0 THEN '/' ELSE '' END"
+        f" || '?' || CASE WHEN {doc_id} % 2 = 0"
+        f" THEN {utm} || '&' || {idp} || {b}"
+        f" ELSE {idp} || {b} || '&' || {utm} END"
+        f" || CASE WHEN {doc_id} % 6 = 0 THEN '#frag' ELSE '' END"
+    )
+
+
+def sql_canonicalize_cte(inner: str, url: str = "url") -> str:
+    """DuckDB twin: relation (doc_id, canonical_url) over ``inner``
+    providing (doc_id, url).  Mirrors canonicalize_url step-for-step;
+    list_sort/array_sort agree on ASCII param strings."""
+    return f"""
+SELECT doc_id,
+       scheme || '://' || host || path ||
+       CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS canonical_url
+FROM (
+  SELECT doc_id, scheme, host, path,
+         array_to_string(list_sort(list_filter(
+           string_split(q, '&'),
+           x -> x <> '' AND NOT regexp_matches(x, '{TRACKING_PARAM_RE}')
+         )), '&') AS qs
+  FROM (
+    SELECT doc_id,
+           lower(regexp_extract(u, '{SCHEME_RE}', 1)) AS scheme,
+           regexp_replace(lower(regexp_extract(u, '{HOST_RE}', 1)),
+                          '^www\\.', '') AS host,
+           regexp_replace(coalesce(regexp_extract(u, '{PATH_RE}', 1),
+                                   ''), '/+$', '') AS path,
+           coalesce(regexp_extract(u, '\\?(.*)$', 1), '') AS q
+    FROM (SELECT doc_id, regexp_replace({url}, '#.*$', '') AS u
+          FROM ({inner}))
+  )
+)
+"""
