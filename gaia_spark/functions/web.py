@@ -154,9 +154,11 @@ def synth_html(doc_id: Column, source: Column, text: Column) -> Column:
     a2 = synth_url((doc_id * 17 + 2) % 1000, source)
     return F.concat(
         F.lit("<html><body><p>"), F.substring(text, 1, 120),
-        F.lit('</p><a href="'), a1, F.lit('">a</a>'),
+        F.lit('</p><a href="'), a1, F.lit('">'),
+        F.substring(text, 1, 15), F.lit("</a>"),
         F.when(doc_id % 3 == 0,
-               F.concat(F.lit('<a href="'), a2, F.lit('">b</a>')))
+               F.concat(F.lit('<a href="'), a2, F.lit('">'),
+                        F.substring(text, 16, 15), F.lit("</a>")))
         .otherwise(F.lit("")),
         F.lit("</body></html>"),
     )
@@ -168,9 +170,11 @@ def sql_synth_html(doc_id: str = "doc_id", source: str = "source",
     a2 = sql_synth_url(f"(({doc_id} * 17 + 2) % 1000)", source)
     return (
         f"'<html><body><p>' || substr({text}, 1, 120)"
-        f" || '</p><a href=\"' || {a1} || '\">a</a>'"
+        f" || '</p><a href=\"' || {a1} || '\">'"
+        f" || substr({text}, 1, 15) || '</a>'"
         f" || CASE WHEN {doc_id} % 3 = 0 THEN"
-        f" '<a href=\"' || {a2} || '\">b</a>' ELSE '' END"
+        f" '<a href=\"' || {a2} || '\">'"
+        f" || substr({text}, 16, 15) || '</a>' ELSE '' END"
         f" || '</body></html>'"
     )
 
@@ -337,4 +341,239 @@ FROM (
           FROM ({inner}))
   )
 )
+"""
+
+
+# ---------------------------------------------------------------------------
+# Domain-blocklist filtering (C4/RefinedWeb-style URL curation)
+# ---------------------------------------------------------------------------
+
+#: boilerplate line classifier shared verbatim with the DuckDB twin.
+#: Exact on the synthesized-page domain (nav/footer lines are Title-
+#: case or symbol-led; corpus content is lowercase words) — outside it
+#: this is the usual jusText-style heuristic, not a parser.
+NAV_LINE_RE = (
+    r"^(Home|About|Contact|Login|Privacy|Terms|Subscribe|Share|Sign"
+    r"|Copyright|©|Cookie)")
+MIN_CONTENT_CHARS = 30
+
+
+def host_suffixes(host: Column) -> Column:
+    """All dot-boundary suffixes of a host, most-specific first:
+    ``a.b.example.com → [a.b.example.com, b.example.com, example.com,
+    com]``.  Pure in-row array ops, bounded by the label count (≤ ~6
+    on real hosts) — the standard trick that turns subdomain matching
+    into an EQUI-join a blocklist can broadcast against."""
+    parts = F.split(host, r"\.")
+    return F.transform(
+        F.sequence(F.lit(1), F.size(parts)),
+        lambda i: F.array_join(
+            F.slice(parts, i, F.size(parts)), "."))
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocked: DataFrame,
+    host_col: str = "host",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Drop rows whose host equals — or is a subdomain of — any
+    ``blocked.pattern`` (label-boundary suffix semantics: pattern
+    ``example.net`` blocks ``www.a.example.net`` but never
+    ``notexample.net``).
+
+    Shape at 100 TB: ONLY (key, suffix) pairs leave the corpus rows
+    (bounded ≤ labels-per-host fan-out), the blocklist side of the
+    semi-join is broadcast, and the blocked-key set that anti-joins
+    back is at most corpus-key-sized but in practice tiny — so the
+    whole filter is broadcast-only, zero corpus shuffles.  A
+    pathological blocklist that matches most of the corpus degrades
+    to one AQE-planned anti-join, still keyed, never nested-loop.
+    """
+    hits = (
+        df.select(F.col(key_col),
+                  F.explode(host_suffixes(F.col(host_col))).alias("sfx"))
+        .join(F.broadcast(blocked.select(F.col("pattern").alias("sfx"))),
+              "sfx", "left_semi")
+        .select(key_col)
+        .distinct()
+    )
+    return df.join(hits, key_col, "left_anti")
+
+
+def sql_blocklist_filter(inner: str, blocked_values: list[str],
+                         host_col: str = "host",
+                         key_col: str = "doc_id") -> str:
+    """DuckDB twin; ``blocked_values`` are escaped into a VALUES list."""
+    vals = ", ".join(
+        "('" + p.replace("'", "''") + "')" for p in blocked_values)
+    return f"""
+WITH d AS ({inner}),
+blocked(pattern) AS (VALUES {vals}),
+sfx AS (
+  SELECT {key_col}, unnest(list_transform(
+      generate_series(1, len(string_split({host_col}, '.'))),
+      i -> array_to_string(string_split({host_col}, '.')[i:], '.')
+  )) AS sfx
+  FROM d
+),
+hits AS (
+  SELECT DISTINCT {key_col} FROM sfx JOIN blocked ON sfx.sfx = blocked.pattern
+)
+SELECT * FROM d ANTI JOIN hits USING ({key_col})
+"""
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate line removal (jusText-lite over page lines)
+# ---------------------------------------------------------------------------
+
+
+def synth_boiler_page(doc_id: Column, text: Column) -> Column:
+    """Deterministic page: the document text wrapped in nav/footer
+    boilerplate lines (twin: sql_synth_boiler_page)."""
+    return F.concat_ws(
+        "\n",
+        F.lit("Home | About | Contact | Login"),
+        F.when(doc_id % 3 == 0, F.lit("Subscribe to our newsletter"))
+        .otherwise(F.lit("Cookie notice: this site uses cookies")),
+        # concat_ws SKIPS null elements (line-count divergence vs the
+        # twin's coalesce) — sentinel '' keeps the 6-line shape
+        F.coalesce(text, F.lit("")),
+        F.when(doc_id % 2 == 0, F.lit("Share this page")).otherwise(
+            F.concat(F.lit("Sign in to comment ("),
+                     (doc_id % 97).cast("string"), F.lit(")"))),
+        F.lit("© 2026 example.com — All rights reserved"),
+        F.lit("Privacy Policy | Terms of Use"),
+    )
+
+
+def sql_synth_boiler_page(doc_id: str = "doc_id",
+                          text: str = "text") -> str:
+    return (
+        "concat_ws(chr(10), 'Home | About | Contact | Login', "
+        f"CASE WHEN {doc_id} % 3 = 0 THEN 'Subscribe to our newsletter' "
+        "ELSE 'Cookie notice: this site uses cookies' END, "
+        f"coalesce({text}, ''), "
+        f"CASE WHEN {doc_id} % 2 = 0 THEN 'Share this page' "
+        f"ELSE 'Sign in to comment (' || ({doc_id} % 97)::VARCHAR || ')' "
+        "END, "
+        "'© 2026 example.com — All rights reserved', "
+        "'Privacy Policy | Terms of Use')"
+    )
+
+
+def strip_boilerplate(page: Column) -> Column:
+    """(content, n_lines, n_kept) struct: lines shorter than
+    MIN_CONTENT_CHARS or matching NAV_LINE_RE are dropped, survivors
+    re-joined.  Pure in-row split/filter/join — whole-stage codegen,
+    nothing but the page column is touched, trivially parallel at any
+    scale (the 100 TB boilerplate pass is scan-bound by design)."""
+    lines = F.split(page, "\n")
+    kept = F.filter(
+        lines,
+        lambda ln: (F.length(ln) >= MIN_CONTENT_CHARS)
+        & ~ln.rlike(NAV_LINE_RE))
+    return F.struct(
+        F.array_join(kept, "\n").alias("content"),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(kept).cast("bigint").alias("n_kept"),
+    )
+
+
+def sql_strip_boilerplate_select(page_expr: str) -> str:
+    """DuckDB twin fragment: content / n_lines / n_kept columns from a
+    page expression (same constants, same rule)."""
+    lines = f"string_split({page_expr}, chr(10))"
+    kept = (f"list_filter({lines}, ln -> length(ln) >= "
+            f"{MIN_CONTENT_CHARS} AND NOT regexp_matches(ln, "
+            f"'{NAV_LINE_RE}'))")
+    return (
+        f"array_to_string({kept}, chr(10)) AS content, "
+        f"len({lines})::BIGINT AS n_lines, "
+        f"len({kept})::BIGINT AS n_kept"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inlink anchor-text aggregation (KG node descriptions from the web)
+# ---------------------------------------------------------------------------
+
+#: href + inner-text matcher (Java-regex/RE2-common syntax; used
+#: verbatim in the DuckDB twin).  Extracting group 1 and group 2 with
+#: two regexp_extract_all calls over the SAME pattern yields
+#: positionally-aligned lists — the zip is exact by construction.
+ANCHOR_TEXT_RE = r'<a href="(https?://[^"]+)">([^<]*)</a>'
+
+
+def anchor_stats(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """Per-target-host inlink anchor census → (dst_host, n_inlinks,
+    n_anchors, top_anchor): the classic web-KG node-attribute builder
+    (an entity's best surface form is what the web calls it when
+    linking to it).
+
+    Shape at 100 TB: html is consumed in-row (two regexp_extract_all
+    passes + zip_with; nothing but (dst_host, anchor) pairs leave the
+    scan), then one (dst_host, anchor)-keyed map-side-combined count
+    and one dst_host-keyed rollup.  top_anchor is an order-free
+    ``max_by`` over the zero-padded ``(count, anchor)`` sort key —
+    deterministic under any partitioning, and the identical VARCHAR
+    trick runs in the DuckDB twin (which can't compare structs in
+    max_by).
+    """
+    links = F.regexp_extract_all(
+        F.col(html_col), F.lit(ANCHOR_TEXT_RE), F.lit(1))
+    anchors = F.regexp_extract_all(
+        F.col(html_col), F.lit(ANCHOR_TEXT_RE), F.lit(2))
+    pairs = (
+        df.select(F.explode(F.zip_with(
+            links, anchors,
+            lambda l, a: F.struct(l.alias("link"), a.alias("anchor"))
+        )).alias("z"))
+        .select(
+            F.lower(F.regexp_extract("z.link", HOST_RE, 1))
+            .alias("dst_host"),
+            F.col("z.anchor").alias("anchor"))
+    )
+    per_anchor = (
+        pairs.groupBy("dst_host", "anchor")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    sort_key = F.concat(
+        F.lpad(F.col("cnt").cast("string"), 12, "0"), F.col("anchor"))
+    return (
+        per_anchor.groupBy("dst_host")
+        .agg(F.sum("cnt").alias("n_inlinks"),
+             F.count(F.lit(1)).alias("n_anchors"),
+             F.max_by("anchor", sort_key).alias("top_anchor"))
+    )
+
+
+def sql_anchor_stats(pages: str, html_col: str = "html") -> str:
+    """DuckDB twin over a ``pages`` relation carrying ``html``.
+
+    Multiple ``unnest`` calls in one SELECT are positionally aligned
+    (the same zip the Spark side does with zip_with)."""
+    return f"""
+WITH pairs AS (
+  SELECT lower(regexp_extract(link, '{HOST_RE}', 1)) AS dst_host,
+         anchor
+  FROM (
+    SELECT
+      unnest(regexp_extract_all({html_col}, '{ANCHOR_TEXT_RE}', 1))
+        AS link,
+      unnest(regexp_extract_all({html_col}, '{ANCHOR_TEXT_RE}', 2))
+        AS anchor
+    FROM ({pages})
+  )
+), per_anchor AS (
+  SELECT dst_host, anchor, count(*)::BIGINT AS cnt
+  FROM pairs GROUP BY dst_host, anchor
+)
+SELECT dst_host,
+       sum(cnt)::BIGINT AS n_inlinks,
+       count(*)::BIGINT AS n_anchors,
+       max_by(anchor, lpad(cnt::VARCHAR, 12, '0') || anchor)
+           AS top_anchor
+FROM per_anchor GROUP BY dst_host
 """

@@ -254,3 +254,139 @@ def sql_pagerank(edges_sql: str, iters: int = 3) -> str:
         )
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT node, rank_ppm FROM r{iters}")
+
+
+# ---------------------------------------------------------------------------
+# Graph health metrics over a constructed KG / link graph
+# ---------------------------------------------------------------------------
+
+
+def _undirected(edges: DataFrame) -> DataFrame:
+    """Canonical undirected simple edges ``(a < b)``: direction,
+    multiplicity, and self-loops removed.  One distinct (= one keyed
+    shuffle with map-side combine) over 2-string rows."""
+    return (
+        edges.select(F.least("src", "dst").alias("a"),
+                     F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """(degree, n_nodes) distribution of the undirected simple graph.
+
+    The first sanity check on any constructed KG (a broken linker
+    shows up as a degree spike; web graphs should be Zipf).  Shape:
+    two map-side-combined shuffles — node-keyed count, then the
+    degree-keyed histogram whose key cardinality is tiny — and only
+    (node, degree) pairs ever travel.
+    """
+    und = _undirected(edges)
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+def sql_degree_histogram(edges_sql: str) -> str:
+    """DuckDB twin over an ``edges(src, dst)`` relation."""
+    return f"""
+WITH und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM ({edges_sql}) WHERE src <> dst
+), deg AS (
+  SELECT node, count(*)::BIGINT AS degree FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY node
+)
+SELECT degree, count(*)::BIGINT AS n_nodes FROM deg GROUP BY degree
+"""
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Global triangle / wedge census of the undirected simple graph.
+
+    → one row (n_nodes, n_edges, n_wedges, n_triangles); with them
+    the global clustering coefficient is 3·tri/wedges.
+
+    Scale shape — degree-ordered orientation: every edge is directed
+    from its lower-(degree, id) endpoint to the higher one, so every
+    out-neighborhood has size O(√m) regardless of hub degree (a Zipf
+    host with 10^6 neighbors contributes NO wedges from its hub side).
+    Each triangle {x,y,z} with rank x<y<z is counted exactly once as
+    the wedge (x→y, x→z) closed by the oriented edge y→z.  The plan is
+    two self-equi-joins keyed on node strings — no driver iteration,
+    no cartesian anywhere; AQE handles the skew of the wedge join's
+    build side.  The DuckDB twin counts the same triangles with the
+    (a<b) value-ordered triple join — orientation changes the cost,
+    never the count.
+    """
+    und = _undirected(edges).localCheckpoint()  # probe + 3 consumers
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ranked = (
+        und.join(deg.select(F.col("node").alias("a"),
+                            F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"),
+                         F.col("deg").alias("db")), "b")
+    )
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    oriented = ranked.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lower_first, F.struct(F.col("db").alias("d"),
+                                     F.col("b").alias("n")))
+        .otherwise(F.struct(F.col("da").alias("d"),
+                            F.col("a").alias("n"))).alias("rv"),
+    ).localCheckpoint()
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    # oriented wedges (apex = lowest-rank vertex) — the join frontier;
+    # the REPORTED n_wedges is the standard unordered census
+    # Σ d·(d−1)/2, an exact integer aggregate over the degree table
+    wedges = e1.join(
+        e2, (F.col("e1.u") == F.col("e2.u"))
+        & (F.col("e1.rv") < F.col("e2.rv"))).select(
+            F.col("e1.v").alias("u"), F.col("e2.v").alias("v"))
+    tri = wedges.join(oriented.select("u", "v"), ["u", "v"], "left_semi")
+    n_nodes = deg.count()
+    n_edges = und.count()
+    n_wedges = deg.agg(
+        F.sum(F.expr("deg * (deg - 1) div 2"))).collect()[0][0]
+    n_tri = tri.count()
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [(n_nodes, n_edges, n_wedges, n_tri)],
+        "n_nodes bigint, n_edges bigint, n_wedges bigint, "
+        "n_triangles bigint")
+
+
+def sql_triangle_count(edges_sql: str) -> str:
+    """DuckDB twin: (a<b) triple join + closed-form wedge count."""
+    return f"""
+WITH und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM ({edges_sql}) WHERE src <> dst
+), deg AS (
+  SELECT node, count(*)::BIGINT AS degree FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY node
+), tri AS (
+  SELECT count(*)::BIGINT AS n FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
+       (SELECT count(*) FROM und)::BIGINT AS n_edges,
+       (SELECT sum(degree * (degree - 1) // 2) FROM deg)::BIGINT
+           AS n_wedges,
+       (SELECT n FROM tri)::BIGINT AS n_triangles
+"""

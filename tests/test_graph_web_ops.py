@@ -1,0 +1,154 @@
+"""Graph health metrics (degrees, triangles) + web curation filters
+(domain blocklist, boilerplate stripping) — round 3.
+
+Hand-computed pins on graphs/pages small enough to count by eye
+(agreeing-but-wrong twin pairs can't pass), then Spark-vs-DuckDB
+equality on the real sf0.001 corpus via the driver's own oracle_sql
+entries.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from gaia_spark.functions.web import (
+    anchor_stats,
+    blocklist_filter,
+    host_suffixes,
+    strip_boilerplate,
+)
+from gaia_spark.operators.graph import degree_histogram, triangle_count
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+class TestDegreeHistogram:
+    def test_triangle_plus_pendant(self, spark):
+        # a-b-c triangle, d pendant off a: degrees a=3, b=c=2, d=1
+        got = {r["degree"]: r["n_nodes"] for r in degree_histogram(
+            _edges(spark, [("a", "b"), ("b", "c"), ("c", "a"),
+                           ("a", "d")])).collect()}
+        assert got == {3: 1, 2: 2, 1: 1}
+
+    def test_direction_multiplicity_selfloop_ignored(self, spark):
+        got = {r["degree"]: r["n_nodes"] for r in degree_histogram(
+            _edges(spark, [("a", "b"), ("b", "a"), ("a", "b"),
+                           ("a", "a")])).collect()}
+        assert got == {1: 2}
+
+
+K4 = [("a", "b"), ("a", "c"), ("a", "d"),
+      ("b", "c"), ("b", "d"), ("c", "d")]
+
+
+class TestTriangleCount:
+    def test_k4(self, spark):
+        row = triangle_count(_edges(spark, K4)).collect()[0]
+        assert (row["n_nodes"], row["n_edges"], row["n_wedges"],
+                row["n_triangles"]) == (4, 6, 12, 4)
+
+    def test_chain_has_none(self, spark):
+        row = triangle_count(
+            _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+        ).collect()[0]
+        assert row["n_triangles"] == 0 and row["n_wedges"] == 2
+
+    def test_noise_edges_dont_change_count(self, spark):
+        # reversed duplicates + self-loop on top of K4
+        row = triangle_count(_edges(
+            spark, K4 + [("b", "a"), ("d", "c"), ("a", "a")]
+        )).collect()[0]
+        assert row["n_triangles"] == 4 and row["n_edges"] == 6
+
+
+class TestBlocklist:
+    def test_suffix_expansion(self, spark):
+        got = spark.createDataFrame(
+            [("a.b.example.com",)], "host string"
+        ).select(host_suffixes(F.col("host")).alias("s")).collect()[0]["s"]
+        assert got == ["a.b.example.com", "b.example.com",
+                       "example.com", "com"]
+
+    def test_subdomain_blocked_lookalike_kept(self, spark):
+        d = spark.createDataFrame(
+            [(1, "www.a.example.net"), (2, "notexample.net"),
+             (3, "example.net"), (4, "safe.example.com")],
+            "doc_id long, host string")
+        blocked = spark.createDataFrame(
+            [("example.net",)], "pattern string")
+        kept = sorted(r["doc_id"] for r in
+                      blocklist_filter(d, blocked).collect())
+        assert kept == [2, 4]
+
+
+class TestBoilerplate:
+    def test_rule_pins(self, spark):
+        page = "\n".join([
+            "Home | About | Contact | Login",
+            "this is a genuine content line of the document body",
+            "tiny",
+            "Privacy Policy | Terms of Use",
+        ])
+        row = spark.createDataFrame([(page,)], "page string").select(
+            strip_boilerplate(F.col("page")).alias("s")
+        ).collect()[0]["s"]
+        assert row["content"] == (
+            "this is a genuine content line of the document body")
+        assert row["n_lines"] == 4 and row["n_kept"] == 1
+
+
+class TestAnchorStats:
+    def test_census_and_top_anchor(self, spark):
+        pages = spark.createDataFrame(
+            [('x <a href="https://t.com/a">Alpha</a> '
+              '<a href="https://t.com/b">Beta</a>',),
+             ('<a href="https://t.com/c">Beta</a>',),
+             ('<a href="https://u.org/">Gamma</a> no-href text',),
+             ("no links at all",)],
+            "html string")
+        got = {r["dst_host"]: (r["n_inlinks"], r["n_anchors"],
+                               r["top_anchor"])
+               for r in anchor_stats(pages).collect()}
+        # t.com: Beta twice beats Alpha once; u.org: single anchor
+        assert got == {"t.com": (3, 2, "Beta"),
+                       "u.org": (1, 1, "Gamma")}
+
+    def test_count_tie_breaks_lexicographically_max(self, spark):
+        pages = spark.createDataFrame(
+            [('<a href="https://t.com/1">aa</a>',),
+             ('<a href="https://t.com/2">zz</a>',)],
+            "html string")
+        row = anchor_stats(pages).collect()[0]
+        assert (row["n_inlinks"], row["top_anchor"]) == (2, "zz")
+
+
+@pytest.mark.parametrize(
+    "name", ["graph_degrees", "graph_triangles", "web_blocklist",
+             "text_boilerplate", "web_anchor_text"])
+def test_cross_engine_sf0001(spark, name):
+    import __spark_entry__ as entry
+
+    got = entry.queries()[name](spark, SF_DIR)
+    con = duckdb.connect()
+    for t in ("lineitem", "documents"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/{t}.parquet')")
+    want = con.sql(entry.oracle_sql()[name])
+    g = sorted(tuple(map(str, r)) for r in got.collect())
+    w = sorted(tuple(map(str, r)) for r in want.fetchall())
+    assert g == w
+    if name == "web_blocklist":  # the filter must actually bite
+        n_all = con.sql("SELECT count(*) FROM documents").fetchone()[0]
+        assert 0 < len(g) < n_all
+    if name == "graph_triangles":
+        assert int(dict(zip(
+            [f.name for f in got.schema], g[0]))["n_triangles"]) > 0
+    if name == "web_anchor_text":  # text-derived anchors, not constants
+        anchors = {r[-1] for r in w}
+        assert len(anchors) > 10
