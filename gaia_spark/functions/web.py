@@ -376,6 +376,7 @@ def blocklist_filter(
     blocked: DataFrame,
     host_col: str = "host",
     key_col: str = "doc_id",
+    broadcast_hits: bool = True,
 ) -> DataFrame:
     """Drop rows whose host equals — or is a subdomain of — any
     ``blocked.pattern`` (label-boundary suffix semantics: pattern
@@ -384,11 +385,15 @@ def blocklist_filter(
 
     Shape at 100 TB: ONLY (key, suffix) pairs leave the corpus rows
     (bounded ≤ labels-per-host fan-out), the blocklist side of the
-    semi-join is broadcast, and the blocked-key set that anti-joins
-    back is at most corpus-key-sized but in practice tiny — so the
-    whole filter is broadcast-only, zero corpus shuffles.  A
-    pathological blocklist that matches most of the corpus degrades
-    to one AQE-planned anti-join, still keyed, never nested-loop.
+    semi-join is broadcast, and the blocked-key set anti-joins back
+    with a STATIC broadcast hint — without it Catalyst cannot size
+    the aggregated hits subplan and plans sort-merge, whose corpus-
+    side exchange materializes before AQE can observe the tiny build
+    (stages launch bottom-up in parallel).  Net: zero corpus
+    shuffles; the only keyed exchange carries blocked keys.  For a
+    pathological blocklist expected to match a large corpus fraction,
+    pass ``broadcast_hits=False`` to fall back to the AQE-planned
+    keyed anti-join (plan-shape test: test_plan_shapes_r3.py).
     """
     hits = (
         df.select(F.col(key_col),
@@ -398,6 +403,8 @@ def blocklist_filter(
         .select(key_col)
         .distinct()
     )
+    if broadcast_hits:
+        hits = F.broadcast(hits)
     return df.join(hits, key_col, "left_anti")
 
 
