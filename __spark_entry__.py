@@ -1129,6 +1129,36 @@ def web_blocklist(spark, sf_dir):
     return web.blocklist_filter(d, blocked)
 
 
+_UPSERT_SPLIT = "1998-01-01"
+
+
+def kg_upsert(spark, sf_dir):
+    """Crawl-refresh KG maintenance: merge a new snapshot's raw
+    triples into the canonical provenance table (SCD-lite upsert —
+    first_seen/last_seen/n_seen rolled forward, status
+    new/confirmed/stale).  One map-side-combined snapshot aggregate +
+    one full-outer join keyed on the triple; provenance rows only —
+    see operators/merge.py:merge_triples."""
+    from gaia_spark.operators.merge import merge_triples
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate")
+    t = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+        .alias("subj"),
+        F.lit("ordered").alias("pred"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+        .alias("obj"),
+        F.col("o_orderdate").alias("seen_ts"))
+    split = F.lit(_UPSERT_SPLIT).cast("timestamp")
+    cur = (t.filter(F.col("seen_ts") < split)
+           .groupBy("subj", "pred", "obj")
+           .agg(F.min("seen_ts").alias("first_seen"),
+                F.max("seen_ts").alias("last_seen"),
+                F.count(F.lit(1)).alias("n_seen")))
+    return merge_triples(cur, t.filter(F.col("seen_ts") >= split))
+
+
 def web_anchor_text(spark, sf_dir):
     """Inlink anchor-text census per target host (KG node attributes:
     what the web calls an entity when linking to it): html consumed
@@ -1316,7 +1346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry, ORDER MATTERS: the driver's correctness artifact
     records only the FIRST 50 entries in dict order (observed
     empirically: CORRECTNESS_r01/r02 each captured exactly registry
-    positions 1-50).  The registry now has 76 entries (67 with exact
+    positions 1-50).  The registry now has 77 entries (68 with exact
     DuckDB twins in oracle_sql()), so the prefix is ROTATED per round
     to maximize cumulative driver evidence:
 
@@ -1329,7 +1359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       whose strongest oracle lives in pytest (COVERAGE.md per-row).
     * After r3 every entry has >=1 driver-recorded row across rounds;
       `python tools/selfcheck.py /root/testdata/sf0.01` replays the
-      driver's exact compare over ALL 76 entries in one command.
+      driver's exact compare over ALL 77 entries in one command.
     """
     return {
         # --- driver window (first 50) ----------------------------
@@ -1411,6 +1441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_blocklist": web_blocklist,
         "text_boilerplate": text_boilerplate,
         "web_anchor_text": web_anchor_text,
+        "kg_upsert": kg_upsert,
         # non-SQL-expressible (strongest oracles in pytest: numpy
         # cross-impl / recall bounds / gaia_ref exact-set; kg_* rows
         # were driver-recorded as rows-only in r1)
@@ -2012,6 +2043,18 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT doc_id, lower(regexp_extract({_web.sql_synth_url()},"
         f" '{_web.HOST_RE}', 1)) AS host FROM documents",
         _BLOCKLIST)
+    from gaia_spark.operators import merge as _merge
+    _upsert_t = (
+        "SELECT 'c' || o.o_custkey::VARCHAR AS subj, 'ordered' AS pred,"
+        " 'p' || l.l_partkey::VARCHAR AS obj, o.o_orderdate AS seen_ts"
+        " FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey")
+    sql["kg_upsert"] = _merge.sql_merge_triples(
+        f"SELECT subj, pred, obj, min(seen_ts) AS first_seen,"
+        f" max(seen_ts) AS last_seen, count(*)::BIGINT AS n_seen"
+        f" FROM ({_upsert_t}) WHERE seen_ts < TIMESTAMP '{_UPSERT_SPLIT}'"
+        f" GROUP BY subj, pred, obj",
+        f"SELECT * FROM ({_upsert_t})"
+        f" WHERE seen_ts >= TIMESTAMP '{_UPSERT_SPLIT}'")
     sql["web_anchor_text"] = _web.sql_anchor_stats(
         f"SELECT {_web.sql_synth_html()} AS html FROM documents")
     sql["text_boilerplate"] = (
