@@ -1350,12 +1350,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     DuckDB twins in oracle_sql()), so the prefix is ROTATED per round
     to maximize cumulative driver evidence:
 
-    * r3 prefix = the 16 oracled queries never yet driver-recorded +
-      the 12 recorded only once (r2) + the 2 rows-only queries with no
-      record in any round (kg_event_coref, streaming_dedup) + 20
+    * r3 prefix = the 16 oracled queries never driver-recorded before
+      r3 + the 8 oracled r3 additions (also never recorded) + the 12
+      recorded only once (r2) + the 2 rows-only queries with no
+      record in any round (kg_event_coref, streaming_dedup) + 12
       representative queries already green in BOTH r1 and r2.
-    * Rotated past the cap: 12 scalar/relational queries green in both
-      r1 AND r2 (rel_distinct .. rel_in_subquery below) and the tail
+    * Rotated past the cap: 20 scalar/relational queries green in
+      both r1 AND r2 (rel_distinct .. rel_rollup below) and the tail
       whose strongest oracle lives in pytest (COVERAGE.md per-row).
     * After r3 every entry has >=1 driver-recorded row across rounds;
       `python tools/selfcheck.py /root/testdata/sf0.01` replays the
@@ -1396,17 +1397,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (no SQL twin), never driver-recorded before r3
         "kg_event_coref": kg_event_coref,
         "streaming_dedup": streaming_dedup,
-        # oracled, green in both r1 and r2 (representative 20)
+        # oracled r3 additions, never driver-recorded (in-window so
+        # CORRECTNESS_r03 captures them on their first round)
+        "web_canonical": web_canonical,
+        "dedup_delta": dedup_delta,
+        "graph_degrees": graph_degrees,
+        "graph_triangles": graph_triangles,
+        "web_blocklist": web_blocklist,
+        "text_boilerplate": text_boilerplate,
+        "web_anchor_text": web_anchor_text,
+        "kg_upsert": kg_upsert,
+        # oracled, green in both r1 and r2 (representative 12)
         "rel_pricing_summary": rel_pricing_summary,
-        "rel_top_revenue_orders": rel_top_revenue_orders,
-        "rel_nation_volume": rel_nation_volume,
-        "rel_semi_join": rel_semi_join,
-        "rel_anti_join": rel_anti_join,
-        "rel_outer_join": rel_outer_join,
-        "rel_self_join_pairs": rel_self_join_pairs,
         "rel_window_topk_per_group": rel_window_topk_per_group,
-        "rel_window_running_sum": rel_window_running_sum,
-        "rel_rollup": rel_rollup,
         "rel_sessionize": rel_sessionize,
         "text_winnow": text_winnow,
         "text_quality": text_quality,
@@ -1432,16 +1435,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_cube": rel_cube,
         "rel_pivot": rel_pivot,
         "rel_in_subquery": rel_in_subquery,
-        # oracled r3 late additions (selfcheck-verified; rotate into
-        # the driver window next round)
-        "web_canonical": web_canonical,
-        "dedup_delta": dedup_delta,
-        "graph_degrees": graph_degrees,
-        "graph_triangles": graph_triangles,
-        "web_blocklist": web_blocklist,
-        "text_boilerplate": text_boilerplate,
-        "web_anchor_text": web_anchor_text,
-        "kg_upsert": kg_upsert,
+        "rel_top_revenue_orders": rel_top_revenue_orders,
+        "rel_nation_volume": rel_nation_volume,
+        "rel_semi_join": rel_semi_join,
+        "rel_anti_join": rel_anti_join,
+        "rel_outer_join": rel_outer_join,
+        "rel_self_join_pairs": rel_self_join_pairs,
+        "rel_window_running_sum": rel_window_running_sum,
+        "rel_rollup": rel_rollup,
         # non-SQL-expressible (strongest oracles in pytest: numpy
         # cross-impl / recall bounds / gaia_ref exact-set; kg_* rows
         # were driver-recorded as rows-only in r1)
