@@ -31,8 +31,10 @@ from __future__ import annotations
 
 import re
 import unicodedata
+from functools import lru_cache
 
-__all__ = ["extract_text", "split_sentences", "tokenize", "norm_surface"]
+__all__ = ["extract_text", "split_sentences", "tokenize",
+           "tokenize_span", "norm_surface"]
 
 # Tags whose boundary implies a line break in the extracted text.
 _BLOCK_TAGS = frozenset(
@@ -146,10 +148,26 @@ def tokenize(sentence: str, base: int = 0) -> list[tuple[int, int, str]]:
     ]
 
 
+def tokenize_span(text: str, sb: int, se: int) -> list[tuple[int, int, str]]:
+    """``tokenize(text[sb:se], base=sb)`` without the slice copy:
+    finditer's pos/endpos bound the scan in place and offsets come out
+    absolute.  \\S+ cannot match across the [sb, se) boundary any
+    differently than it matches inside a slice, so the token lists are
+    identical by construction (pinned by test_extract.py)."""
+    return [
+        (m.start(), m.end(), m.group(0))
+        for m in _TOKEN_RE.finditer(text, sb, se)
+    ]
+
+
+@lru_cache(maxsize=65536)
 def norm_surface(s: str) -> str:
     """Alias-normal form used on BOTH sides of the KB alias join:
     NFC, lowercase, leading/trailing punct stripped, inner dots kept,
-    whitespace collapsed.  Pinned — kb_aliases.alias_norm uses it too."""
+    whitespace collapsed.  Pinned — kb_aliases.alias_norm uses it too.
+    Pure string→string, so the lru_cache only skips recomputation —
+    the surface vocabulary is tiny relative to mention occurrences
+    (~35 calls/doc, mostly repeats)."""
     s = unicodedata.normalize("NFC", s)
     toks = []
     for t in s.split():

@@ -22,6 +22,7 @@ from gaia_ref.extract import (
     norm_surface,
     split_sentences,
     tokenize,
+    tokenize_span,
 )
 from gaia_ref.gazetteer import (
     APPOSITIVE_PREDICATES,
@@ -156,7 +157,7 @@ def extract_doc_assertions(
     for sid, pairs in sorted(by_sent.items()):
         sb, se = sent_spans[sid]
         n = len(pairs)
-        stoks = tokenize(text[sb:se], base=sb) if n > 1 else None
+        stoks = tokenize_span(text, sb, se) if n > 1 else None
         adj = []  # (a_ante, b_ante, phrase, begins_with_comma)
         for i in range(n - 1):
             (m1, a1), (m2, a2) = pairs[i], pairs[i + 1]

@@ -14,6 +14,7 @@ from dataclasses import dataclass
 from gaia_ref.extract import (
     split_sentences,
     tokenize,
+    tokenize_span,
 )
 from gaia_ref.gazetteer import EVENT_TRIGGERS, KB_ENTITIES, NOMINALS
 
@@ -108,7 +109,7 @@ def tag_document(text: str) -> tuple[list[Mention], list[Trigger]]:
     mentions: list[Mention] = []
     triggers: list[Trigger] = []
     for sid, sb, se in split_sentences(text):
-        toks = tokenize(text[sb:se], base=sb)
+        toks = tokenize_span(text, sb, se)
         # _core_span inlined: it runs once per token per document and
         # the call overhead alone is ~5-8% of the kernel (profiled);
         # body kept line-for-line identical to _core_span
