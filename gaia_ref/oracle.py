@@ -129,6 +129,7 @@ def resolve_nominals(mentions: list[Mention]) -> list[tuple[Mention, Mention]]:
 def extract_doc_assertions(
     text: str,
     pretagged: tuple | None = None,
+    preresolved: list | None = None,
 ) -> tuple[list[dict], list[dict]]:
     """Per-doc relations + events over resolved mentions.
 
@@ -138,13 +139,17 @@ def extract_doc_assertions(
 
     ``pretagged=(mentions, triggers)`` skips the internal tag_document
     call when the caller already tagged the text (the fused Spark stage
-    tags exactly once per document).
+    tags exactly once per document); ``preresolved`` likewise carries
+    the caller's ``resolve_nominals(mentions)`` result (the fused
+    stage's 's' row family computes it anyway — recomputing here was a
+    second sort over every mention).
     """
     if pretagged is None:
         mentions, triggers = tag_document(text)
     else:
         mentions, triggers = pretagged
-    resolved = resolve_nominals(mentions)
+    resolved = (resolve_nominals(mentions)
+                if preresolved is None else preresolved)
     sent_spans = {sid: (sb, se) for sid, sb, se in split_sentences(text)}
 
     by_sent: dict[int, list[tuple[Mention, Mention]]] = defaultdict(list)

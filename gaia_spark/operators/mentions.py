@@ -274,20 +274,22 @@ def _flat_rows(url: str, text: str, kinds: str = "mtga") -> list[tuple]:
                 rows.append((url, "g", sid, pos, None, None, None,
                              None, None, None, None, None, None, None,
                              None, phrase, bwc) + _PAD)
+    resolved = None
     if "s" in kinds:
         # per-doc-distinct resolved surface pairs, skinny: the ONLY
         # mention-derived input the fast path needs (linking/NIL/
         # canonicalization run over the surface vocabulary)
+        resolved = resolve_nominals(pre[0])
         surfs = sorted({
-            (m.coarse, norm_surface(a.surface))
-            for m, a in resolve_nominals(pre[0])
+            (m.coarse, norm_surface(a.surface)) for m, a in resolved
         })
         for coarse, ln in surfs:
             rows.append((url, "s", 0, None, None, None, None, coarse,
                          None, None, ln, None, None, None, None, None,
                          None) + _PAD)
     if "a" in kinds:
-        rels, evts = extract_doc_assertions(text, pretagged=pre)
+        rels, evts = extract_doc_assertions(
+            text, pretagged=pre, preresolved=resolved)
         for r in rels + evts:
             a, b = r["subj_m"], r["obj_m"]
             rows.append((url, "a", r["sent_id"], None, None, None, None,
