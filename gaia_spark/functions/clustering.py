@@ -158,6 +158,99 @@ def kmeans_exact(
     )
 
 
+def semdedup(
+    corpus: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    tau_x10k: int = 4000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-dup pruning with
+    k-means blocking — → (vec_id, cluster, keep).
+
+    A document is dropped (keep = false) iff some SAME-CLUSTER
+    document with a smaller id has cosine ≥ tau_x10k/1e4 — the
+    deterministic keeper election (lowest id survives each near-dup
+    neighborhood).  Clustering is the exact fixed-point kernel above,
+    so the blocking — and therefore the output — is bit-reproducible.
+
+    Scale shape: the quadratic is confined WITHIN clusters (the whole
+    point of SemDeDup) — cost O(Σ s_c²) for cluster sizes s_c, so k
+    is chosen to keep s_c ~ 10³–10⁴ at corpus scale; the pair join
+    shuffles on the cluster key and AQE's skew-join splits oversized
+    clusters.  Cosine arithmetic is the same double left-to-right
+    contract as similarity.cosine_col, already proven hash-identical
+    to the DuckDB twin by the emb_dup_pairs oracle.
+    """
+    from gaia_spark.functions.similarity import cosine_col
+
+    km = kmeans_exact(corpus, k=k, iters=iters,
+                      id_col=id_col, vec_col=vec_col)
+    base = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col),
+                    lambda x: x.cast("double")).alias("v"),
+    )
+    j = base.join(km.select("vec_id", "cluster"), "vec_id")
+    a = j.select(F.col("vec_id").alias("a_id"), F.col("cluster"),
+                 F.col("v").alias("av"))
+    b = j.select(F.col("vec_id").alias("b_id"), F.col("cluster"),
+                 F.col("v").alias("bv"))
+    dups = (
+        a.join(b, ["cluster"])
+        .filter(F.col("a_id") > F.col("b_id"))
+        .filter(F.floor(F.lit(10_000)
+                        * cosine_col(F.col("av"), F.col("bv")))
+                >= F.lit(tau_x10k))
+        .select(F.col("a_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        j.join(dups.withColumn("dup", F.lit(True)), "vec_id", "left")
+        .select("vec_id", "cluster",
+                F.coalesce(~F.col("dup"), F.lit(True)).alias("keep"))
+    )
+
+
+def sql_semdedup(
+    rel: str,
+    k: int = 4,
+    iters: int = 2,
+    tau_x10k: int = 4000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin: the kmeans twin as a subquery + the same
+    within-cluster pair filter (cosine shapes from the emb_dup_pairs
+    oracle)."""
+    km = sql_kmeans_exact(rel, k=k, iters=iters,
+                          id_col=id_col, vec_col=vec_col)
+    return f"""
+WITH km AS ({km}),
+e2 AS (
+  SELECT {id_col} AS vec_id,
+         list_transform({vec_col}, x -> x::DOUBLE) AS v
+  FROM {rel}
+), j AS (
+  SELECT km.vec_id, km.cluster, e2.v
+  FROM km JOIN e2 USING (vec_id)
+), dups AS (
+  SELECT DISTINCT a.vec_id
+  FROM j a JOIN j b ON a.cluster = b.cluster AND a.vec_id > b.vec_id
+  WHERE floor(10000 *
+          list_sum(list_transform(list_zip(a.v, b.v),
+                   z -> z[1] * z[2]))
+          / ( sqrt(list_sum(list_transform(a.v, x -> x * x)))
+            * sqrt(list_sum(list_transform(b.v, x -> x * x))) ))
+        >= {tau_x10k}
+)
+SELECT vec_id, cluster,
+       vec_id NOT IN (SELECT vec_id FROM dups) AS keep
+FROM j
+"""
+
+
 def sql_kmeans_exact(
     rel: str,
     k: int = 4,

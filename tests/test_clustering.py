@@ -9,7 +9,9 @@ from gaia_spark.functions.clustering import (
     KM_OFFSET,
     KM_SCALE,
     kmeans_exact,
+    semdedup,
     sql_kmeans_exact,
+    sql_semdedup,
 )
 
 RNG = np.random.default_rng(42)
@@ -62,6 +64,26 @@ def test_matches_duckdb_twin_and_python(spark, emb_df):
     # planted duplicates land in the same cluster, by construction
     assert got[2] == got[9] == got[33]
     assert len({c for c, _ in got.values()}) == K
+
+
+def test_semdedup_matches_twin_and_drops_duplicates(spark, emb_df):
+    got = {r.vec_id: (r.cluster, r.keep)
+           for r in semdedup(emb_df, k=K, iters=ITERS,
+                             tau_x10k=9990).collect()}
+    con = duckdb.connect()
+    con.register("emb_tbl", emb_df.toPandas())
+    want = {r[0]: (r[1], r[2]) for r in con.sql(
+        sql_semdedup("emb_tbl", k=K, iters=ITERS,
+                     tau_x10k=9990)).fetchall()}
+    assert got == want
+    assert len(got) == N
+    # the planted exact duplicates of row 2: lowest id (2) survives,
+    # the copies (9, 33) are dropped; everything shares 2's cluster
+    assert got[2][1] is True
+    assert got[9][1] is False and got[33][1] is False
+    assert got[2][0] == got[9][0] == got[33][0]
+    # at cos >= 0.999 nothing else in this random corpus collides
+    assert sum(1 for _, keep in got.values() if not keep) == 2
 
 
 def test_partitioning_invariance(spark, emb_df):
