@@ -167,6 +167,77 @@ def connected_components(
     return labels
 
 
+def khop_reachability(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int = 3,
+) -> DataFrame:
+    """Undirected k-hop BFS from a seed set — → (node, hop) where
+    ``hop`` is the MINIMUM number of edges from any seed (≤ k).
+
+    The third iterative kernel next to connected components and
+    PageRank: KG neighborhood expansion (entity context windows,
+    blast-radius of a bad linker merge, crawl frontier analysis).
+
+    First-visit BFS gives min-hop by construction, so no per-node
+    min() re-aggregation is needed: each round expands only the
+    CURRENT frontier (nodes first reached last round) through the
+    symmetric edge table and anti-joins everything already visited.
+    Scale shape: per round one shuffle join keyed on node + one
+    left-anti against visited — frontier-sized, not graph-sized;
+    lineage truncated per round.  Deterministic: reachability and
+    hop counts are set-algebraic (no tie-breaks at all).
+
+    DuckDB twin: recursive CTE over (node, hop ≤ k) pairs + min(hop)
+    — see ``sql_khop_reachability``.
+    """
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"),
+                                  F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()  # k consumers — never re-run the edge plan
+    )
+    visited = seeds.select(F.col("node")).distinct().withColumn(
+        "hop", F.lit(0)).localCheckpoint()
+    frontier = visited
+    for i in range(1, k + 1):
+        nxt = (
+            sym.join(frontier.select(F.col("node")),
+                     sym.src == F.col("node"))
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(i))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited
+
+
+def sql_khop_reachability(edges_sql: str, seeds_sql: str,
+                          k: int = 3) -> str:
+    """DuckDB twin: recursive CTE (UNION-deduped (node, hop) pairs,
+    bounded by hop < k) + per-node min hop."""
+    return f"""
+WITH RECURSIVE sym AS (
+  SELECT src, dst FROM ({edges_sql})
+  UNION
+  SELECT dst AS src, src AS dst FROM ({edges_sql})
+), reach(node, hop) AS (
+  SELECT node, 0 FROM ({seeds_sql})
+  UNION
+  SELECT e.dst, r.hop + 1
+  FROM reach r JOIN sym e ON e.src = r.node
+  WHERE r.hop < {k}
+)
+SELECT node, min(hop)::INT AS hop FROM reach GROUP BY node
+"""
+
+
 # ---------------------------------------------------------------------------
 # PageRank — fixed-point integer arithmetic, cross-engine exact
 # ---------------------------------------------------------------------------
