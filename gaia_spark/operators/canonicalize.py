@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from gaia_spark.checkpoint import big_local_checkpoint
+
 TRIPLE_COLS = [
     "url", "sent_id", "subj", "pred", "obj",
     "subj_type", "obj_type", "conf",
@@ -126,8 +128,9 @@ def dedup_triples(joined: DataFrame, with_lang: bool,
     """
     hashed = joined.withColumn("__h", F.xxhash64(*TRIPLE_COLS))
     if not stable_input:
-        # single materialization serving probe + both branches
-        hashed = hashed.localCheckpoint()
+        # single materialization serving probe + both branches —
+        # corpus-sized, so serialized blocks (checkpoint.py)
+        hashed = big_local_checkpoint(hashed)
     dup_hashes = (
         hashed.select("__h")
         .groupBy("__h").agg(F.count(F.lit(1)).alias("__n"))
@@ -180,8 +183,8 @@ def graph_edges(triples: DataFrame, stable_input: bool = False) -> DataFrame:
     """
     hashed = triples.withColumn("__h", F.xxhash64("subj", "pred", "obj"))
     if not stable_input:
-        # single materialization — see dedup_triples
-        hashed = hashed.localCheckpoint()
+        # single materialization — see dedup_triples; serialized blocks
+        hashed = big_local_checkpoint(hashed)
     dup_hashes = (
         hashed.select("__h")
         .groupBy("__h").agg(F.count(F.lit(1)).alias("__n"))

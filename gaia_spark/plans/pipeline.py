@@ -215,6 +215,8 @@ def build_triples_df(
         tag_flat,
     )
 
+    from gaia_spark.checkpoint import big_local_checkpoint
+
     # The tagger wants ≥2 waves of tasks (page cost varies ~20×, so at
     # 1 partition per core the slowest task gates the stage).  When the
     # parquet scan already yields that many splits (files.
@@ -234,7 +236,9 @@ def build_triples_df(
     # extract+tag+coref) emitting pre-exploded rows.
     # flat_mentions(tagged) IS the resolved table — downstream is pure
     # relational algebra until the final write.
-    tagged = tag_flat(pages, kinds="sa").localCheckpoint()
+    # corpus-sized fan-in → SERIALIZED checkpoint blocks (several-fold
+    # fewer bytes for the 3-4 downstream re-scans; see checkpoint.py)
+    tagged = big_local_checkpoint(tag_flat(pages, kinds="sa"))
     # T4/T4b/T11 operate on DISTINCT SURFACES, not mention occurrences:
     # the tagger pre-dedups per doc ('s' rows), the map-side-combined
     # distinct collapses those to the corpus surface vocabulary before

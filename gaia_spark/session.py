@@ -139,6 +139,13 @@ def get_spark(
                                _default_driver_mem()))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # lz4 on SERIALIZED persisted blocks — pairs with
+        # checkpoint.big_local_checkpoint (corpus-sized fan-in tables
+        # are stored serialized and re-scanned 3-4×; measured −13 to
+        # −45 s per ~100-145 s 16-core leg, neutral at 4 cores — see
+        # gaia_spark/checkpoint.py and BENCH/SCALING.md).  Affects no
+        # deserialized-level cache.
+        .config("spark.rdd.compress", "true")
     )
     # Iceberg: no runtime jar ships in this sandbox, but if one is
     # provided (SPARK_GRAFT_ICEBERG_JAR=/path/to/
@@ -163,6 +170,15 @@ def get_spark(
     # cluster mode: ship the same worker malloc tuning to executors
     for k, v in WORKER_MALLOC_ENV.items():
         b = b.config(f"spark.executorEnv.{k}", v)
+    # Env-injected conf (JSON dict), applied before the caller's
+    # extra_conf: lets harnesses (scaling probe, bench) A/B session
+    # knobs — GC flags, compression codecs — without code edits, the
+    # same way spark-submit --conf would on a real cluster.
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
+    if env_conf:
+        import json
+        for k, v in json.loads(env_conf).items():
+            b = b.config(k, str(v))
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

@@ -42,6 +42,23 @@ def test_fused_lang_column_matches_input(spark, fused_triples, corpus_dir):
                for r in fused_triples.select("url", "lang").collect())
 
 
+def test_checkpoint_block_format_is_result_invariant(
+        spark, corpus_dir, fused_triples, monkeypatch):
+    """Fan-in checkpoints default to SERIALIZED blocks (bandwidth-vs-
+    CPU trade, gaia_spark/checkpoint.py); the deserialized opt-out
+    (SPARK_GRAFT_CKPT_SER=0) must never change a single output row."""
+    monkeypatch.setenv("SPARK_GRAFT_CKPT_SER", "0")
+    pages = spark.read.parquet(os.path.join(corpus_dir, "pages.parquet"))
+    kb_e = spark.read.parquet(
+        os.path.join(corpus_dir, "kb_entities.parquet"))
+    kb_a = spark.read.parquet(
+        os.path.join(corpus_dir, "kb_aliases.parquet"))
+    got = build_triples_df(spark, pages, kb_e, kb_a)
+    assert ({tuple(r) for r in got.select(*TRIPLE_KEY).collect()}
+            == {tuple(r) for r in
+                fused_triples.select(*TRIPLE_KEY).collect()})
+
+
 def test_recrawled_duplicate_urls_do_not_multiply_triples(
         spark, corpus_dir, fused_triples):
     """Crawl corpora carry recrawls (duplicate urls).  The final
