@@ -49,6 +49,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from gaia_spark.checkpoint import big_local_checkpoint
+
 #: fixed-point scale: 1.0 == 1_000_000 (µ-units)
 KM_SCALE = 1_000_000
 
@@ -119,10 +121,10 @@ def kmeans_exact(
     aggregate is an order-free integer sum, the init is a total order
     on (md5(id), id), and ties break on cluster index.
     """
-    base = corpus.select(
+    base = big_local_checkpoint(corpus.select(
         F.col(id_col).alias("vec_id"),
         _int_vec(F.col(vec_col)).alias("v"),
-    ).localCheckpoint()  # iterated consumer — never re-run the scan
+    ))  # corpus-sized, re-scanned every Lloyd round → serialized blocks
 
     seeds = (
         base.withColumn("h", F.md5(F.col("vec_id").cast("string")))
