@@ -762,6 +762,85 @@ def media_ldcc(spark, sf_dir):
     )
 
 
+def _vision_images(spark, sf_dir):
+    """Deterministic binary 'images' for the vision stages: PNG magic
+    + the document text bytes (same recipe as media_meta, so the
+    DuckDB twin rebuilds identical blobs)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").alias("image_id"),
+        F.concat(F.unhex(F.lit("89504E47")),
+                 F.encode("text", "UTF-8")).alias("blob"))
+
+
+def vision_detect_fuse(spark, sf_dir):
+    """V1 object detection + ensemble fusion/pruning
+    (operators/vision.py): the detector runs through the REAL
+    Arrow-batched mapInPandas model stage (deterministic fake model —
+    pure function of md5(hex(blob))); fusion is one map-side-combined
+    hash agg keyed by (image, label, grid cell).  The oracle recomputes
+    both stages from the md5 bytes in SQL."""
+    from gaia_spark.operators import vision as vz
+    return vz.fuse_detections(vz.detect_objects(
+        _vision_images(spark, sf_dir)))
+
+
+def vision_protos(spark, sf_dir):
+    """V2/V3 face-/flag-style identification: Arrow-batched embedding
+    stage + broadcast prototype match (integer dot-product argmax,
+    total-order tiebreak).  Prototype vectors are deterministic
+    functions of the label names, inlined as literals in the SQL
+    twin."""
+    from gaia_spark.operators import vision as vz
+    feats = vz.embed_images(_vision_images(spark, sf_dir))
+    protos = vz.build_prototypes(spark, list(vz.VIS_LABELS))
+    return vz.best_proto(feats, protos)
+
+
+def vision_coref(spark, sf_dir):
+    """V5 visual entity coreference: OR-of-two-bands quantized
+    embedding blocking → star edges → the shared connected-components
+    kernel (pointer-doubling at scale).  Oracle = recursive-CTE
+    transitive closure over the same band-min edges."""
+    from gaia_spark.operators import vision as vz
+    feats = vz.embed_images_cols(_vision_images(spark, sf_dir))
+    return vz.visual_coref(feats)
+
+
+def vision_ground_kb(spark, sf_dir):
+    """V6+V7 cross-media grounding + multimedia KB merge: text
+    mentions (one per doc, deterministic label) join fused visual
+    objects on (parent document, label); text and visual edge tables
+    union + canonicalize into one multimedia edge per (subj, pred,
+    obj) with ensemble-max confidence and modality counts."""
+    from gaia_spark.operators import vision as vz
+    imgs = _vision_images(spark, sf_dir)
+    spine = imgs.select(
+        "image_id",
+        F.concat(F.lit("doc:"), F.col("image_id")).alias("parent_uid"))
+    dets = vz.fuse_detections(vz.detect_objects_cols(imgs))
+    labels_arr = F.array(*[F.lit(l) for l in vz.VIS_LABELS])
+    mentions = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("doc:"), F.col("doc_id")).alias("parent_uid"),
+        F.element_at(
+            labels_arr, (F.col("doc_id") % 8 + 1).cast("int")
+        ).alias("label"))
+    grounded = vz.ground_mentions(mentions, dets, spine)
+    text_edges = mentions.select(
+        F.col("parent_uid").alias("subj"),
+        F.lit("mentions").alias("pred"),
+        F.col("label").alias("obj"),
+        F.lit(9500).alias("conf_x10k"),
+        F.lit("text").alias("modality"))
+    vis_edges = grounded.select(
+        F.col("parent_uid").alias("subj"),
+        F.lit("shows").alias("pred"),
+        F.col("label").alias("obj"),
+        "conf_x10k",
+        F.lit("vision").alias("modality"))
+    return vz.merge_kb(text_edges, vis_edges)
+
+
 # ---------------------------------------------------------------------------
 # KG-construction pipeline (GAIA semantics; pandas-UDF stages)
 # ---------------------------------------------------------------------------
@@ -1428,13 +1507,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     to maximize cumulative driver evidence:
 
     * r3 prefix = the 16 oracled queries never driver-recorded before
-      r3 + the 12 oracled r3 additions (also never recorded) + the 12
-      recorded only once (r2) + the 2 rows-only queries with no
-      record in any round (kg_event_coref, streaming_dedup) + 8
-      representative queries already green in BOTH r1 and r2
-      (media_meta, dedup_jaccard, text_winnow, rel_sessionize
-      rotated just past the cap to make room for cluster_kmeans /
-      cluster_semdedup / graph_khop / web_warc_roundtrip).
+      r3 + the 16 oracled r3 additions (also never recorded; incl.
+      the four vision_* stages) + the 12 recorded only once (r2) +
+      the 2 rows-only queries with no record in any round
+      (kg_event_coref, streaming_dedup) + 4 representative queries
+      already green in BOTH r1 and r2 (media_meta, dedup_jaccard,
+      text_winnow, rel_sessionize, rel_window_topk_per_group,
+      text_lang_dist, dedup_exact, emb_dup_pairs rotated just past
+      the cap to make room for the r3 additions).
     * Rotated past the cap: 20 scalar/relational queries green in
       both r1 AND r2 (rel_distinct .. rel_rollup below) and the tail
       whose strongest oracle lives in pytest (COVERAGE.md per-row).
@@ -1491,19 +1571,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_kmeans": cluster_kmeans,
         "cluster_semdedup": cluster_semdedup,
         "web_warc_roundtrip": web_warc_roundtrip,
-        # oracled, green in both r1 and r2 (representative 8;
-        # media_meta, dedup_jaccard, text_winnow, rel_sessionize
-        # rotated past the cap to make room — all have driver-green
-        # rows in r1 AND r2 and stay covered by selfcheck)
+        # oracled vision/fusion stages V1-V7 (operators/vision.py,
+        # deterministic fake models — md5-derivable, so exact DuckDB
+        # twins), never driver-recorded (new in r3)
+        "vision_detect_fuse": vision_detect_fuse,
+        "vision_protos": vision_protos,
+        "vision_coref": vision_coref,
+        "vision_ground_kb": vision_ground_kb,
+        # oracled, green in both r1 and r2 (representative 4;
+        # media_meta, dedup_jaccard, text_winnow, rel_sessionize,
+        # rel_window_topk_per_group, text_lang_dist, dedup_exact,
+        # emb_dup_pairs rotated past the cap to make room — all have
+        # driver-green rows in r1 AND r2 and stay covered by selfcheck)
         "rel_pricing_summary": rel_pricing_summary,
-        "rel_window_topk_per_group": rel_window_topk_per_group,
         "text_quality": text_quality,
-        "text_lang_dist": text_lang_dist,
-        "dedup_exact": dedup_exact,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "ann_cosine_topk": ann_cosine_topk,
-        "emb_dup_pairs": emb_dup_pairs,
         # --- beyond the 50-row driver cap ------------------------
+        "rel_window_topk_per_group": rel_window_topk_per_group,
+        "text_lang_dist": text_lang_dist,
+        "dedup_exact": dedup_exact,
+        "emb_dup_pairs": emb_dup_pairs,
         "media_meta": media_meta,
         "dedup_jaccard": dedup_jaccard,
         "text_winnow": text_winnow,
@@ -2179,5 +2267,103 @@ def oracle_sql() -> dict[str, str]:
                    ::BIGINT AS cents
           FROM lineitem)
         GROUP BY l_returnflag
+    """
+
+    # --- vision/fusion V1-V7 (operators/vision.py SQL twins) -------
+    from gaia_spark.operators import vision as _vz
+    _vblob = "unhex('89504E47') || encode(text)"
+    _vimgs = f"""imgs AS (
+          SELECT doc_id AS image_id,
+                 {_vz.sql_sig(_vblob)} AS sig,
+                 {_vz.sql_sig(_vblob, ':emb')} AS sig2
+          FROM documents)"""
+    _vembs = _vz.sql_emb_exprs("sig2")
+    _vemb_cte = ("emb AS (SELECT image_id, "
+                 + ", ".join(f"{e} AS e{d}" for d, e in enumerate(_vembs))
+                 + " FROM imgs)")
+
+    sql["vision_detect_fuse"] = f"""
+        WITH {_vimgs},
+        dets AS ({_vz.sql_det_selects('imgs')})
+        {_vz.sql_fuse('dets')}
+    """
+
+    _vprotos = ", ".join(
+        "('{}', {})".format(n, ", ".join(str(v) for v in _vz.proto_vec(n)))
+        for n in _vz.VIS_LABELS)
+    _vdims = range(_vz.EMB_DIMS)
+    sql["vision_protos"] = f"""
+        WITH {_vimgs},
+        {_vemb_cte},
+        protos(proto_id, {", ".join(f"p{d}" for d in _vdims)}) AS (
+          VALUES {_vprotos}),
+        scored AS (
+          SELECT image_id, proto_id,
+                 ({" + ".join(f"e{d} * p{d}" for d in _vdims)})::BIGINT
+                   AS score
+          FROM emb CROSS JOIN protos)
+        SELECT image_id, proto_id, score FROM (
+          SELECT *, row_number() OVER (
+                   PARTITION BY image_id
+                   ORDER BY score DESC, proto_id) AS rn
+          FROM scored)
+        WHERE rn = 1
+    """
+
+    def _vband(b: int) -> str:
+        digits = " || ".join(
+            f"((e{4 * b + d} + 128) // 64)::VARCHAR" for d in range(4))
+        return (f"SELECT image_id, 'b{b}:' || {digits} AS band_key "
+                f"FROM emb")
+
+    sql["vision_coref"] = f"""
+        WITH RECURSIVE {_vimgs},
+        {_vemb_cte},
+        bands AS ({_vband(0)} UNION ALL {_vband(1)}),
+        star AS (
+          SELECT image_id AS src,
+                 min(image_id) OVER (PARTITION BY band_key) AS dst
+          FROM bands),
+        edges AS (
+          SELECT src, dst FROM star WHERE src <> dst
+          UNION
+          SELECT dst, src FROM star WHERE src <> dst),
+        reach(node, comp) AS (
+          SELECT image_id, image_id FROM imgs
+          UNION
+          SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.node)
+        SELECT node AS image_id, min(comp) AS cluster_id
+        FROM reach GROUP BY node
+    """
+
+    _vlabels_list = "[" + ", ".join(f"'{l}'" for l in _vz.VIS_LABELS) + "]"
+    sql["vision_ground_kb"] = f"""
+        WITH {_vimgs},
+        dets AS ({_vz.sql_det_selects('imgs')}),
+        fused AS ({_vz.sql_fuse('dets')}),
+        spine AS (SELECT image_id, 'doc:' || image_id AS parent_uid
+                  FROM imgs),
+        mentions AS (
+          SELECT 'doc:' || doc_id AS parent_uid,
+                 {_vlabels_list}[(doc_id % 8) + 1] AS label
+          FROM documents),
+        grounded AS (
+          SELECT s.parent_uid, f.label, f.image_id, f.conf_x10k
+          FROM fused f
+          JOIN spine s USING (image_id)
+          JOIN mentions m
+            ON m.parent_uid = s.parent_uid AND m.label = f.label),
+        alle AS (
+          SELECT parent_uid AS subj, 'mentions' AS pred, label AS obj,
+                 9500 AS conf_x10k, 'text' AS modality
+          FROM mentions
+          UNION ALL
+          SELECT parent_uid, 'shows', label, conf_x10k, 'vision'
+          FROM grounded)
+        SELECT subj, pred, obj,
+               max(conf_x10k) AS conf_x10k,
+               count(*)::BIGINT AS n_prov,
+               count(DISTINCT modality)::INT AS n_modalities
+        FROM alle GROUP BY subj, pred, obj
     """
     return sql
