@@ -228,7 +228,12 @@ def fuse_detections(dets: DataFrame, grid: int = FUSE_GRID,
     fused = (
         cells.groupBy("image_id", "label", "cx", "cy")
         .agg(F.count(F.lit(1)).cast("int").alias("n_dets"),
-             F.countDistinct("model").cast("int").alias("n_models"),
+             # NOT countDistinct: the distinct-agg rewrite would add a
+             # second (keys, model)-keyed exchange; the model domain is
+             # a tiny bounded set, so a one-pass collect_set size gives
+             # the same answer with one exchange total
+             F.size(F.collect_set("model")).cast("int")
+              .alias("n_models"),
              F.max("conf_x10k").alias("conf_x10k"),
              F.min("x").alias("x"), F.min("y").alias("y"))
     )
@@ -429,7 +434,9 @@ def merge_kb(text_edges: DataFrame, vis_edges: DataFrame) -> DataFrame:
     return (alle.groupBy("subj", "pred", "obj")
             .agg(F.max("conf_x10k").alias("conf_x10k"),
                  F.count(F.lit(1)).alias("n_prov"),
-                 F.countDistinct("modality").cast("int")
+                 # one-pass distinct count over the 2-value modality
+                 # domain (see fuse_detections for why not countDistinct)
+                 F.size(F.collect_set("modality")).cast("int")
                   .alias("n_modalities")))
 
 
