@@ -12,9 +12,9 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from gaia_ref.extract import (
+    _TOKEN_RE,
     split_sentences,
     tokenize,
-    tokenize_span,
 )
 from gaia_ref.gazetteer import EVENT_TRIGGERS, KB_ENTITIES, NOMINALS
 
@@ -92,16 +92,22 @@ def _build_lexicon() -> tuple[dict, dict, int]:
 
 _NAMED, _NOMINAL, _MAX_LEN = _build_lexicon()
 
-# first-token gate: a position can only start a match if its (cased)
-# core begins some NAMED key or its lowercased core begins some NOMINAL
-# key; the per-first-token max key length bounds the k-descent.  Pure
-# lookup-pruning — the candidate set per position is unchanged.
-_KMAX_NAMED: dict[str, int] = {}
+# first-token gate: a position can only start a match if some lexicon
+# key could begin at it; the per-first-token max key length bounds the
+# k-descent.  Pure lookup-pruning — the candidate set per position is
+# unchanged.  Single gate keyed by the LOWERCASED first core: max key
+# length over named keys (any casing of their first token) and nominal
+# keys starting there.  Lowercasing the named side only loosens the
+# cap — pruning stays sound because an actual match still requires the
+# cased key in _NAMED — and ONE probe replaces the former two
+# (_KMAX_NAMED cased + _KMAX_NOMINAL lowered), measured ~4% of the
+# kernel on gate-miss tokens.
+_GATE: dict[str, int] = {}
 for _k in _NAMED:
-    _KMAX_NAMED[_k[0]] = max(_KMAX_NAMED.get(_k[0], 0), len(_k))
-_KMAX_NOMINAL: dict[str, int] = {}
+    _f = _k[0].lower()
+    _GATE[_f] = max(_GATE.get(_f, 0), len(_k))
 for _k in _NOMINAL:
-    _KMAX_NOMINAL[_k[0]] = max(_KMAX_NOMINAL.get(_k[0], 0), len(_k))
+    _GATE[_k[0]] = max(_GATE.get(_k[0], 0), len(_k))
 
 
 def tag_document(text: str) -> tuple[list[Mention], list[Trigger]]:
@@ -109,17 +115,21 @@ def tag_document(text: str) -> tuple[list[Mention], list[Trigger]]:
     mentions: list[Mention] = []
     triggers: list[Trigger] = []
     for sid, sb, se in split_sentences(text):
-        toks = tokenize_span(text, sb, se)
-        # _core_span inlined: it runs once per token per document and
-        # the call overhead alone is ~5-8% of the kernel (profiled);
-        # body kept line-for-line identical to _core_span
+        # tokenization fused with the (inlined) _core_span pass: one
+        # finditer loop builds the cores table directly.  The former
+        # intermediate (begin, end, token) tuple list (tokenize_span)
+        # profiled at ~16% of the kernel and nothing below used it
+        # beyond its length — the trigger loop reads cores/consumed by
+        # index.  Core math kept line-for-line identical to _core_span.
         cores = []
-        for tb, _te, tok in toks:
+        for m in _TOKEN_RE.finditer(text, sb, se):
+            tok = m.group(0)
+            tb = m.start()
             lo = len(tok) - len(tok.lstrip(_LEAD_CHARS))
             hi = len(tok.rstrip(_TRAIL_CHARS))
             cores.append((tb, tb, "") if hi < lo
                          else (tb + lo, tb + hi, tok[lo:hi]))
-        n = len(toks)
+        n = len(cores)
         consumed = [False] * n
         i = 0
         while i < n:
@@ -127,13 +137,13 @@ def tag_document(text: str) -> tuple[list[Mention], list[Trigger]]:
             if not c0:
                 i += 1
                 continue
-            # k-descent pruning: cap k by the longest lexicon key that
-            # starts with this token (0 → no key can match here), and
+            # k-descent pruning: cap k by the longest lexicon key
+            # whose first token lowercases to this core (0 → no key
+            # can match here), and
             # truncate the window at the first empty core (the original
             # loop `continue`d every k spanning one).  Same matches,
             # ~10× fewer tuple builds + dict probes.
-            kcap = max(_KMAX_NAMED.get(c0, 0),
-                       _KMAX_NOMINAL.get(c0.lower(), 0))
+            kcap = _GATE.get(c0.lower(), 0)
             if not kcap:
                 i += 1
                 continue
@@ -171,10 +181,10 @@ def tag_document(text: str) -> tuple[list[Mention], list[Trigger]]:
                     break
             if not matched:
                 i += 1
-        for idx, (tb, _te, tok) in enumerate(toks):
+        for idx in range(n):
             if consumed[idx]:
                 continue
-            cb, ce, core = cores[idx]  # same (begin, end, core) table
+            cb, ce, core = cores[idx]
             trig = EVENT_TRIGGERS.get(core.lower())
             if trig:
                 coarse_ev, fine_ev, lrole, ltypes, rrole, rtypes, conf = trig
