@@ -518,6 +518,24 @@ def rel_cube(spark, sf_dir):
     )
 
 
+def rel_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS — the general form rollup/cube are sugar
+    for (SURVEY §2.4 grouping-sets row): (flag,status) + per-flag +
+    grand-total in ONE pass (a single Expand feeding one hash agg, not
+    three scans).  NULL group keys coalesced to 'ALL' so the
+    cross-engine value hash is sentinel-stable."""
+    li = _t(spark, sf_dir, "lineitem")
+    g = (li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag", "l_linestatus")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(_dec("l_quantity")).cast("double").alias("sum_qty")))
+    return g.select(
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+        "n", "sum_qty")
+
+
 def rel_pivot(spark, sf_dir):
     """Pivot order status → columns per priority (null-safe counts)."""
     o = _t(spark, sf_dir, "orders")
@@ -1608,6 +1626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_correlated_subquery": rel_correlated_subquery,
         "rel_global_topk": rel_global_topk,
         "rel_cube": rel_cube,
+        "rel_grouping_sets": rel_grouping_sets,
         "rel_pivot": rel_pivot,
         "rel_in_subquery": rel_in_subquery,
         "rel_top_revenue_orders": rel_top_revenue_orders,
@@ -1852,6 +1871,17 @@ def oracle_sql() -> dict[str, str]:
                     AS DOUBLE) AS sum_base
         FROM lineitem
         GROUP BY CUBE (l_returnflag, l_linestatus)
+    """
+
+    sql["rel_grouping_sets"] = """
+        SELECT coalesce(l_returnflag, 'ALL') AS rf,
+               coalesce(l_linestatus, 'ALL') AS ls,
+               count(*)::BIGINT AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                    AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
     """
 
     sql["rel_pivot"] = """
