@@ -19,10 +19,18 @@ from bench import corpus_dir
 cdir = corpus_dir(1000000)
 from bench_scaling import run_one
 
-# standing minima on THIS binary (post-serialization f565a66+),
-# measured 2026-08-19 ~02:00 quiet window; see BENCH/SCALING.md
-best = {4: {"secs": 474.6, "seeded": True},
-        16: {"secs": 152.57, "seeded": True}}
+# Seed via env ONLY with minima measured on the SAME binary
+# (legs of different code never mix — BENCH/SCALING.md methodology);
+# default: hunt from scratch.
+import json as _json
+_seed = os.environ.get("SPARK_GRAFT_HUNT_SEED")  # e.g. '{"4": 474.6, "16": 152.57}'
+if _seed:
+    _s = _json.loads(_seed)
+    best = {4: {"secs": float(_s["4"]), "seeded": True},
+            16: {"secs": float(_s["16"]), "seeded": True}}
+else:
+    best = {4: {"secs": float("inf"), "seeded": True},
+            16: {"secs": float("inf"), "seeded": True}}
 
 
 def sound():
@@ -34,8 +42,10 @@ def sound():
 
 
 def eff():
-    return (best[16]["secs"] and
-            best[4]["secs"] / best[16]["secs"] / 4.0)
+    t4, t16 = best[4]["secs"], best[16]["secs"]
+    if t4 == float("inf") or t16 == float("inf"):
+        return 0.0
+    return t4 / t16 / 4.0
 
 
 while time.time() < deadline:
