@@ -1520,7 +1520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry, ORDER MATTERS: the driver's correctness artifact
     records only the FIRST 50 entries in dict order (observed
     empirically: CORRECTNESS_r01/r02 each captured exactly registry
-    positions 1-50).  The registry now has 81 entries (72 with exact
+    positions 1-50).  The registry now has 86 entries (77 with exact
     DuckDB twins in oracle_sql()), so the prefix is ROTATED per round
     to maximize cumulative driver evidence:
 
@@ -1538,7 +1538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       whose strongest oracle lives in pytest (COVERAGE.md per-row).
     * After r3 every entry has >=1 driver-recorded row across rounds;
       `python tools/selfcheck.py /root/testdata/sf0.01` replays the
-      driver's exact compare over ALL 81 entries in one command.
+      driver's exact compare over ALL 86 entries in one command.
     """
     return {
         # --- driver window (first 50) ----------------------------
