@@ -1236,6 +1236,83 @@ def graph_triangles(spark, sf_dir):
     return triangle_count(_copurchase_edges(spark, sf_dir))
 
 
+def graph_kcore(spark, sf_dir):
+    """2-core of the co-purchase graph (iterative parallel peel):
+    strips the sparse periphery a broken linker inflates and keeps
+    the densely-corroborated nucleus.  Fixed 12-round peel, raises
+    on non-convergence (same policy as connected_components); the
+    DuckDB twin unrolls the same 12 peels — see
+    operators/graph.py:kcore."""
+    from gaia_spark.operators.graph import kcore
+    return kcore(_copurchase_edges(spark, sf_dir), k=2, rounds=12)
+
+
+#: functional predicates for the conflict check (at most one object
+#: per subject may hold)
+_FUNCTIONAL_PREDS = ["ordered_by", "priority"]
+
+
+def _conflict_triples(spark, sf_dir):
+    """orders → (subj, pred, obj) triples with DETERMINISTIC injected
+    conflicts: every 19th order claims a second customer, every 23rd
+    a second priority (a crawl-refresh / bad-merge simulation the SQL
+    twin replays bit-for-bit)."""
+    o = _t(spark, sf_dir, "orders")
+    subj = F.concat(F.lit("o"), F.col("o_orderkey").cast("string"))
+    base = o.select(
+        subj.alias("subj"), F.lit("ordered_by").alias("pred"),
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+        .alias("obj"),
+    ).unionByName(o.select(
+        subj.alias("subj"), F.lit("priority").alias("pred"),
+        F.col("o_orderpriority").alias("obj")))
+    dup_cust = o.filter(F.col("o_orderkey") % 19 == 0).select(
+        subj.alias("subj"), F.lit("ordered_by").alias("pred"),
+        F.concat(F.lit("c"), (F.col("o_custkey") + 1).cast("string"))
+        .alias("obj"))
+    dup_prio = o.filter(F.col("o_orderkey") % 23 == 0).select(
+        subj.alias("subj"), F.lit("priority").alias("pred"),
+        F.lit("9-INJECTED").alias("obj"))
+    return base.unionByName(dup_cust).unionByName(dup_prio)
+
+
+_SQL_CONFLICT_TRIPLES = """
+    SELECT 'o' || o_orderkey::VARCHAR AS subj, 'ordered_by' AS pred,
+           'c' || o_custkey::VARCHAR AS obj FROM orders
+    UNION ALL
+    SELECT 'o' || o_orderkey::VARCHAR, 'priority', o_orderpriority
+    FROM orders
+    UNION ALL
+    SELECT 'o' || o_orderkey::VARCHAR, 'ordered_by',
+           'c' || (o_custkey + 1)::VARCHAR
+    FROM orders WHERE o_orderkey % 19 = 0
+    UNION ALL
+    SELECT 'o' || o_orderkey::VARCHAR, 'priority', '9-INJECTED'
+    FROM orders WHERE o_orderkey % 23 = 0
+"""
+
+
+def kg_conflicts(spark, sf_dir):
+    """KB consistency audit: subjects asserting >1 distinct object
+    for a functional predicate (linker merge errors / crawl-refresh
+    conflicts the SCD upsert must adjudicate).  Pushed pred-IN
+    filter + ONE map-side-combined (subj, pred) agg — see
+    operators/cleankb.py:functional_violations."""
+    from gaia_spark.operators.cleankb import functional_violations
+    return functional_violations(_conflict_triples(spark, sf_dir),
+                                 _FUNCTIONAL_PREDS)
+
+
+def text_cooccur(spark, sf_dir):
+    """Token co-occurrence lift over documents (PMI-style association
+    mining — the KG primer for relation candidates): top-40
+    doc-frequent tokens, pair lift in exact x10k integer arithmetic.
+    One distinct(doc, token) exchange + broadcast vocab pair join —
+    see functions/text_analysis.py:cooccur_lift."""
+    return ta.cooccur_lift(_t(spark, sf_dir, "documents"),
+                           top_v=40, min_pairs=2)
+
+
 #: suffix semantics exercised: whole-TLD slice, exact host, exact
 #: www-host, and a pattern matching nothing
 _BLOCKLIST = ["example.net", "src1-7.example.com",
@@ -1614,6 +1691,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": dedup_jaccard,
         "text_winnow": text_winnow,
         "rel_sessionize": rel_sessionize,
+        # oracled late-r3 additions (past the cap until the r4
+        # rotation; selfcheck.py verifies them every run)
+        "graph_kcore": graph_kcore,
+        "kg_conflicts": kg_conflicts,
+        "text_cooccur": text_cooccur,
         # oracled, driver-green in BOTH r1 and r2 (rotated out this
         # round; selfcheck.py still verifies them every run)
         "rel_distinct": rel_distinct,
@@ -2396,4 +2478,12 @@ def oracle_sql() -> dict[str, str]:
                count(DISTINCT modality)::INT AS n_modalities
         FROM alle GROUP BY subj, pred, obj
     """
+
+    sql["graph_kcore"] = _graph.sql_kcore(_SQL_COPURCHASE, k=2,
+                                          rounds=12)
+    from gaia_spark.operators.cleankb import sql_functional_violations
+    sql["kg_conflicts"] = sql_functional_violations(
+        _SQL_CONFLICT_TRIPLES, _FUNCTIONAL_PREDS)
+    sql["text_cooccur"] = ta.sql_cooccur_lift(
+        "documents", top_v=40, min_pairs=2)
     return sql

@@ -481,3 +481,98 @@ SELECT row_number() OVER (ORDER BY n DESC, token) AS rank,
              / n_total::DOUBLE)::BIGINT AS cum_cov_x10k
 FROM top, total
 """
+
+
+# ---------------------------------------------------------------------------
+# Token co-occurrence lift (PMI-style association, integerized)
+# ---------------------------------------------------------------------------
+
+
+def cooccur_lift(df: DataFrame, top_v: int = 50, min_pairs: int = 2,
+                 text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Document-level co-occurrence statistics for the ``top_v`` most
+    document-frequent tokens — the KG-construction primer for "which
+    entity surfaces associate?" (PMI edges seed relation candidates
+    and disambiguation priors).
+
+    → (tok1, tok2, n_pair, df1, df2, lift_x10k) with tok1 < tok2,
+    where lift = P(t1,t2) / (P(t1)·P(t2)) over documents, reported as
+    floor(1e4 · n_pair · n_docs / (df1 · df2)) — all-BIGINT arithmetic,
+    so the DuckDB twin is hash-exact (PMI itself is just log(lift),
+    monotone; the log stays out of the contract to keep it integral).
+
+    Scale shape: tokens explode in-row into ONE distinct(doc, token)
+    exchange with map-side combine; the vocabulary is a
+    TakeOrderedAndProject over the token-df aggregate (V rows,
+    deterministic (df desc, token) order) and BROADCASTS to both
+    sides of the pair join, so the per-doc self-join fan-out is
+    bounded by C(V,2) regardless of document length; the pair count
+    is one more map-side-combined exchange keyed on the (tok1, tok2)
+    pair; n_docs rides a 1-row broadcast.  Nothing after the
+    distinct(doc, token) exchange scales with corpus bytes.
+    """
+    from gaia_spark.functions.retrieval import WORD_SPLIT_RE
+
+    toks_arr = F.filter(F.split(F.lower(F.col(text_col)), WORD_SPLIT_RE),
+                        lambda t: t != "")
+    doc_tok = (
+        df.select(F.col(id_col).alias("doc"),
+                  F.explode(toks_arr).alias("token"))
+        .distinct()
+    )
+    vocab = (
+        doc_tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), "token").limit(top_v)
+    )
+    tv = doc_tok.join(F.broadcast(vocab), "token")
+    n_docs = df.select(F.count_distinct(id_col).alias("n_docs"))
+    left = tv.select("doc", F.col("token").alias("tok1"),
+                     F.col("df").alias("df1"))
+    right = tv.select("doc", F.col("token").alias("tok2"),
+                      F.col("df").alias("df2"))
+    return (
+        left.join(right, "doc")
+        .filter(F.col("tok1") < F.col("tok2"))
+        .groupBy("tok1", "tok2", "df1", "df2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_pairs)
+        .join(F.broadcast(n_docs))
+        .select(
+            "tok1", "tok2", "n_pair", "df1", "df2",
+            F.expr(f"({SCALE} * n_pair * n_docs) div (df1 * df2)")
+            .cast("bigint").alias("lift_x10k"),
+        )
+    )
+
+
+def sql_cooccur_lift(rel: str, top_v: int = 50, min_pairs: int = 2,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> str:
+    """DuckDB twin of cooccur_lift (same integer contract)."""
+    from gaia_spark.functions.retrieval import WORD_SPLIT_RE
+
+    return f"""
+WITH doc_tok AS (
+  SELECT DISTINCT {id_col} AS doc,
+         unnest(list_filter(string_split_regex(lower({text_col}),
+                                               '{WORD_SPLIT_RE}'),
+                            t -> t <> '')) AS token
+  FROM {rel}
+), vocab AS (
+  SELECT token, count(*)::BIGINT AS df FROM doc_tok GROUP BY token
+  ORDER BY df DESC, token LIMIT {top_v}
+), tv AS (
+  SELECT d.doc, d.token, v.df FROM doc_tok d JOIN vocab v USING (token)
+), nd AS (
+  SELECT count(DISTINCT {id_col})::BIGINT AS n_docs FROM {rel}
+)
+SELECT a.token AS tok1, b.token AS tok2,
+       count(*)::BIGINT AS n_pair,
+       a.df AS df1, b.df AS df2,
+       (({SCALE} * count(*)::BIGINT * any_value(n_docs))
+        // (a.df * b.df))::BIGINT AS lift_x10k
+FROM tv a JOIN tv b ON a.doc = b.doc AND a.token < b.token, nd
+GROUP BY a.token, b.token, a.df, b.df
+HAVING count(*) >= {min_pairs}
+"""

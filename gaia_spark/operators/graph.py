@@ -440,6 +440,85 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         "n_triangles bigint")
 
 
+def kcore(edges: DataFrame, k: int = 2, rounds: int = 12) -> DataFrame:
+    """k-core of the undirected simple graph — → (node, core_degree)
+    for every node of the maximal subgraph where ALL degrees ≥ k.
+
+    KG-health use: the k-core strips the sparse periphery a broken
+    linker inflates (singleton chains, orphan attributes) and keeps
+    the densely-corroborated nucleus; core size over rounds is the
+    standard "is this graph real or noise" diagnostic next to the
+    degree histogram and triangle census.
+
+    Iterative peel: each round recomputes degrees over the surviving
+    edge set and drops EVERY node currently below k (the parallel
+    / "batch" peel — identical fixpoint to the sequential definition
+    because removing a sub-k node never raises another's degree).
+    Scale shape per round: one node-keyed map-side-combined count
+    plus two anti-joins of the edge table against the (typically
+    tiny, AQE-broadcast) drop set; lineage is truncated per round so
+    the plan stays flat at any depth.
+
+    Cross-engine contract: runs EXACTLY ``rounds`` peels (a converged
+    peel is a no-op, so extra rounds never change the answer) and
+    RAISES if the peel is still changing at the last round — a
+    partial peel is a wrong answer, same policy as
+    ``connected_components``.  The DuckDB twin (``sql_kcore``)
+    unrolls the same ``rounds`` MATERIALIZED CTEs (without
+    materialization DuckDB inlines each round's 3 references to the
+    previous one — exponential expansion), so both engines compute
+    the same fixpoint bit-for-bit.
+    """
+    cur = _undirected(edges).localCheckpoint()
+    for i in range(rounds):
+        deg = (
+            cur.select(F.col("a").alias("node"))
+            .unionByName(cur.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("core_degree"))
+        )
+        low = deg.filter(F.col("core_degree") < k).select("node")
+        if low.isEmpty():
+            return deg
+        if i == rounds - 1:
+            raise RuntimeError(
+                f"kcore: still peeling after {rounds} rounds; raise "
+                "`rounds` (returning a partial peel would overstate "
+                "the core)")
+        cur = (
+            cur.join(low.withColumnRenamed("node", "a"), "a", "left_anti")
+            .join(low.withColumnRenamed("node", "b"), "b", "left_anti")
+            .localCheckpoint()
+        )
+    # unreachable: the loop either returns (converged) or raises
+    raise AssertionError("kcore: rounds must be >= 1")
+
+
+def sql_kcore(edges_sql: str, k: int = 2, rounds: int = 12) -> str:
+    """DuckDB twin: the same ``rounds`` peels unrolled as CTEs (each
+    keeps only edges whose BOTH endpoints have degree ≥ k in the
+    previous survivor set)."""
+    ctes = [
+        f"""e0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM ({edges_sql}) WHERE src <> dst
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"d{i} AS MATERIALIZED (SELECT node, count(*)::BIGINT"
+            f" AS deg FROM (SELECT a AS node FROM e{i-1} "
+            f"UNION ALL SELECT b FROM e{i-1}) GROUP BY node)")
+        ctes.append(
+            f"e{i} AS MATERIALIZED (SELECT e.a, e.b FROM e{i-1} e "
+            f"JOIN d{i} da ON da.node = e.a AND da.deg >= {k} "
+            f"JOIN d{i} db ON db.node = e.b AND db.deg >= {k})")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT node, count(*)::BIGINT AS core_degree FROM (
+  SELECT a AS node FROM e{rounds} UNION ALL SELECT b FROM e{rounds}
+) GROUP BY node HAVING count(*) >= {k}""")
+
+
 def sql_triangle_count(edges_sql: str) -> str:
     """DuckDB twin: (a<b) triple join + closed-form wedge count."""
     return f"""
