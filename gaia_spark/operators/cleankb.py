@@ -82,3 +82,76 @@ SELECT subj, pred, count(DISTINCT obj)::BIGINT AS n_objs,
 FROM ({triples_sql}) WHERE pred IN ({in_list})
 GROUP BY subj, pred HAVING count(DISTINCT obj) > 1
 """
+
+
+def predicate_profile(triples: DataFrame) -> DataFrame:
+    """Schema profiling over the (subj, pred, obj) table — the KB
+    audit that DISCOVERS which predicates behave functionally (feed
+    the result into ``functional_violations``) and sizes every
+    predicate for join planning (broadcast-able object vocabularies,
+    skewed subjects).
+
+    → one row per pred: n_triples, n_subjs, n_objs (distinct),
+    max_objs_per_subj, n_multi_subjs (subjects asserting >1 distinct
+    object), functional_frac_x10k (fraction of subjects with exactly
+    one object, floor-x10k — 10000 means strictly functional).
+
+    Scale shape: one map-side-combined (pred, subj) agg over the
+    triple scan, re-aggregated to the handful of predicates, plus one
+    (pred, obj)-distinct branch for the object vocabulary size; the
+    two per-pred aggregates join on the tiny pred key (AQE broadcasts
+    it).  Nothing driver-side; output is O(|predicates|).
+    """
+    per_subj = (
+        triples.groupBy("pred", "subj")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.count_distinct("obj").alias("n_obj"))
+    )
+    by_pred = (
+        per_subj.groupBy("pred")
+        .agg(F.sum("n").alias("n_triples"),
+             F.count(F.lit(1)).alias("n_subjs"),
+             F.max("n_obj").alias("max_objs_per_subj"),
+             F.sum((F.col("n_obj") > 1).cast("bigint"))
+             .alias("n_multi_subjs"),
+             F.sum((F.col("n_obj") == 1).cast("bigint"))
+             .alias("n_func"))
+    )
+    n_objs = (triples.select("pred", "obj").distinct()
+              .groupBy("pred").agg(F.count(F.lit(1)).alias("n_objs")))
+    return (
+        by_pred.join(n_objs, "pred")
+        .select(
+            "pred", "n_triples", "n_subjs", "n_objs",
+            "max_objs_per_subj", "n_multi_subjs",
+            F.expr("10000 * n_func div n_subjs").cast("bigint")
+            .alias("functional_frac_x10k"),
+        )
+    )
+
+
+def sql_predicate_profile(triples_sql: str) -> str:
+    """DuckDB twin of predicate_profile (same integer contract)."""
+    return f"""
+WITH t AS ({triples_sql}),
+per_subj AS (
+  SELECT pred, subj, count(*)::BIGINT AS n,
+         count(DISTINCT obj)::BIGINT AS n_obj
+  FROM t GROUP BY pred, subj
+), by_pred AS (
+  SELECT pred, sum(n)::BIGINT AS n_triples,
+         count(*)::BIGINT AS n_subjs,
+         max(n_obj)::BIGINT AS max_objs_per_subj,
+         sum(CASE WHEN n_obj > 1 THEN 1 ELSE 0 END)::BIGINT
+             AS n_multi_subjs,
+         sum(CASE WHEN n_obj = 1 THEN 1 ELSE 0 END)::BIGINT AS n_func
+  FROM per_subj GROUP BY pred
+), vocab AS (
+  SELECT pred, count(DISTINCT obj)::BIGINT AS n_objs
+  FROM t GROUP BY pred
+)
+SELECT b.pred, b.n_triples, b.n_subjs, v.n_objs,
+       b.max_objs_per_subj, b.n_multi_subjs,
+       (10000 * b.n_func // b.n_subjs)::BIGINT AS functional_frac_x10k
+FROM by_pred b JOIN vocab v USING (pred)
+"""

@@ -540,3 +540,65 @@ SELECT (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
            AS n_wedges,
        (SELECT n FROM tri)::BIGINT AS n_triangles
 """
+
+
+def transitive_closure(edges: DataFrame,
+                       max_doublings: int = 8) -> DataFrame:
+    """Transitive closure of a DAG — → every (src, dst) pair with a
+    directed path, self-pairs excluded.
+
+    KG-construction use: ancestor closure of the type / subclass_of
+    hierarchy (fine-grained typing T3 infers every supertype of a
+    linked entity's leaf type; SPARQL ``rdfs:subClassOf*``), and
+    blast-radius analysis of a bad merge along part_of chains.
+
+    Path doubling: round r joins the closure-so-far with ITSELF
+    (``R ← R ∪ (R ⋈ R)``), so covered path length doubles each round
+    — a depth-D hierarchy closes in ⌈log2 D⌉ rounds (default 8 ⇒
+    depth 256), not D edge-extension rounds.  Scale shape per round:
+    one keyed self-join + one distinct, both map-side-combined;
+    lineage truncated per round, convergence detected from the
+    already-materialized count (no extra job).  RAISES if still
+    growing after the last round — a partial closure silently
+    under-reports ancestors (same policy as connected_components /
+    kcore).  Cycles would close into self-pairs and are filtered
+    defensively, but the contract input is a DAG.
+
+    The DuckDB twin (``sql_transitive_closure``) is a recursive CTE
+    with UNION-dedup semantics — one hop per step, same fixpoint.
+    """
+    cur = (edges.select("src", "dst")
+           .filter(F.col("src") != F.col("dst"))
+           .distinct().localCheckpoint())
+    n = cur.count()
+    for _ in range(max_doublings):
+        hop = cur.alias("a").join(
+            cur.alias("b"), F.col("a.dst") == F.col("b.src")
+        ).select(F.col("a.src").alias("src"),
+                 F.col("b.dst").alias("dst"))
+        nxt = (cur.unionByName(hop)
+               .filter(F.col("src") != F.col("dst"))
+               .distinct().localCheckpoint())
+        m = nxt.count()
+        if m == n:
+            return cur
+        cur, n = nxt, m
+    raise RuntimeError(
+        f"transitive_closure: still growing after {max_doublings} "
+        "doublings (covers depth 2^r); raise `max_doublings` — a "
+        "partial closure under-reports ancestors")
+
+
+def sql_transitive_closure(edges_sql: str) -> str:
+    """DuckDB twin: recursive CTE (UNION dedup), self-pairs excluded."""
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT src, dst FROM ({edges_sql}) WHERE src <> dst
+), r AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, e.dst FROM r JOIN e ON e.src = r.dst
+  WHERE r.src <> e.dst
+)
+SELECT src, dst FROM r WHERE src <> dst
+"""

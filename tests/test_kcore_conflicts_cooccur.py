@@ -10,8 +10,11 @@ import duckdb
 import pytest
 
 from gaia_spark.functions.text_analysis import cooccur_lift
-from gaia_spark.operators.cleankb import functional_violations
-from gaia_spark.operators.graph import kcore
+from gaia_spark.operators.cleankb import (
+    functional_violations,
+    predicate_profile,
+)
+from gaia_spark.operators.graph import kcore, transitive_closure
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -103,3 +106,69 @@ def test_cross_engine_sf0001(spark, name):
     w = sorted(tuple(map(str, r)) for r in want.fetchall())
     assert g == w
     assert len(g) > 0  # each audit must actually bite on the corpus
+
+
+class TestTransitiveClosure:
+    def test_chain_all_pairs(self, spark):
+        # a→b→c→d: closure = all 6 ordered ancestor pairs
+        got = {(r["src"], r["dst"]) for r in transitive_closure(
+            _edges(spark, [("a", "b"), ("b", "c"),
+                           ("c", "d")])).collect()}
+        assert got == {("a", "b"), ("a", "c"), ("a", "d"),
+                       ("b", "c"), ("b", "d"), ("c", "d")}
+
+    def test_diamond_dedups_paths(self, spark):
+        # a→b→d and a→c→d: (a,d) reachable twice, appears once
+        got = sorted((r["src"], r["dst"]) for r in transitive_closure(
+            _edges(spark, [("a", "b"), ("a", "c"), ("b", "d"),
+                           ("c", "d")])).collect())
+        assert got == [("a", "b"), ("a", "c"), ("a", "d"),
+                       ("b", "d"), ("c", "d")]
+
+    def test_doubling_depth(self, spark):
+        # depth-8 chain closes within 3 doublings (2^3 = 8) …
+        chain = [(f"n{i}", f"n{i + 1}") for i in range(8)]
+        assert transitive_closure(
+            _edges(spark, chain), max_doublings=4).count() == 9 * 8 // 2
+
+    def test_raises_on_partial(self, spark):
+        # … but NOT within 1 (depth 2 < 8): raise, never under-report
+        chain = [(f"n{i}", f"n{i + 1}") for i in range(8)]
+        with pytest.raises(RuntimeError, match="still growing"):
+            transitive_closure(_edges(spark, chain), max_doublings=1)
+
+
+class TestPredicateProfile:
+    def test_functional_vs_multivalued(self, spark):
+        triples = spark.createDataFrame(
+            [("s1", "born_in", "paris"), ("s2", "born_in", "rome"),
+             ("s3", "born_in", "rome"),
+             ("s1", "likes", "x"), ("s1", "likes", "y"),
+             ("s1", "likes", "x"),        # dup assertion, same obj
+             ("s2", "likes", "x")],
+            "subj string, pred string, obj string")
+        got = {r["pred"]: r.asDict() for r in
+               predicate_profile(triples).collect()}
+        b = got["born_in"]
+        assert (b["n_triples"], b["n_subjs"], b["n_objs"],
+                b["max_objs_per_subj"], b["n_multi_subjs"],
+                b["functional_frac_x10k"]) == (3, 3, 2, 1, 0, 10000)
+        lk = got["likes"]
+        assert (lk["n_triples"], lk["n_subjs"], lk["n_objs"],
+                lk["max_objs_per_subj"], lk["n_multi_subjs"],
+                lk["functional_frac_x10k"]) == (4, 2, 2, 2, 1, 5000)
+
+
+@pytest.mark.parametrize("name", ["kg_type_closure", "kg_pred_profile"])
+def test_cross_engine_sf0001_closure_profile(spark, name):
+    import __spark_entry__ as entry
+
+    got = entry.queries()[name](spark, SF_DIR)
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/{t}.parquet')")
+    want = con.sql(entry.oracle_sql()[name])
+    g = sorted(tuple(map(str, r)) for r in got.collect())
+    w = sorted(tuple(map(str, r)) for r in want.fetchall())
+    assert g == w and len(g) > 0
