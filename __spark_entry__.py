@@ -1247,6 +1247,14 @@ def graph_kcore(spark, sf_dir):
     return kcore(_copurchase_edges(spark, sf_dir), k=2, rounds=12)
 
 
+#: ontology size cap: type hierarchies are VOCABULARY-scale (10^3-10^4
+#: types), not corpus-scale — 2^14-1 nodes = a full depth-13 tree.
+#: At the driver's sf0.01 (15k orders) the cap is above the key range,
+#: so it changes nothing there; at larger SF it keeps the query's
+#: input at realistic ontology size (the closure KERNEL stays generic).
+_SUBCLASS_MAX_NODE = 16383
+
+
 def _subclass_edges(spark, sf_dir):
     """Deterministic subclass_of hierarchy over the dense orderkey
     spine: node = o_orderkey + 1, parent = node div 2 — a perfect
@@ -1255,14 +1263,17 @@ def _subclass_edges(spark, sf_dir):
     bit-for-bit)."""
     o = _t(spark, sf_dir, "orders").select(
         (F.col("o_orderkey") + 1).alias("node"))
-    return o.filter(F.col("node") >= 2).select(
+    return o.filter(
+        (F.col("node") >= 2) & (F.col("node") <= _SUBCLASS_MAX_NODE)
+    ).select(
         F.col("node").alias("src"),
         F.expr("node div 2").cast("bigint").alias("dst"))
 
 
-_SQL_SUBCLASS_EDGES = """
+_SQL_SUBCLASS_EDGES = f"""
     SELECT o_orderkey + 1 AS src, (o_orderkey + 1) // 2 AS dst
-    FROM orders WHERE o_orderkey + 1 >= 2
+    FROM orders
+    WHERE o_orderkey + 1 BETWEEN 2 AND {_SUBCLASS_MAX_NODE}
 """
 
 
