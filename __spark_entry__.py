@@ -1396,6 +1396,49 @@ def text_cooccur(spark, sf_dir):
                            top_v=40, min_pairs=2)
 
 
+#: decomposed accents (e + U+0301, A + U+030A) + a C0 control + a
+#: space run — exercises all three normalization steps; injected on
+#: doc_id % 3 == 0 so `changed` is a real per-row signal, not a
+#: constant.  MUST stay decomposed (escape form) so raw_len agrees
+#: with the oracle's chr()-built twin pre-NFC.
+_NFC_SUFFIX = " Cafe\u0301 A\u030a  \x01ctl"
+
+
+def text_normalize(spark, sf_dir):
+    """Unicode NFC + control-strip + space-collapse normalization
+    audit (the byte-canonicalization pass tokenizers and exact dedup
+    require): decomposed accents are injected on a third of the docs
+    to exercise recomposition; cross-engine NFC parity is
+    Python unicodedata vs DuckDB utf8proc — see
+    functions/normalize.py:norm_stats."""
+    from gaia_spark.functions import normalize as nm
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.col("text"), F.lit(_NFC_SUFFIX)))
+        .otherwise(F.col("text")).alias("text"))
+    return nm.norm_stats(d)
+
+
+#: leak-free split carve (basis points): 90/5/5 train/val/test
+_SPLITS = [("train", 9000), ("val", 500), ("test", 500)]
+
+
+def sample_split(spark, sf_dir):
+    """Leak-free train/val/test split audit: the split is a pure
+    md5-bucket function of the REGISTERED DOMAIN, so templated
+    near-dups of a training page can never land in eval.  Assignment
+    is a zero-shuffle codegen'd projection; only the
+    (split, lang) rollup aggregates — see
+    functions/sampling.py:grouped_split."""
+    from gaia_spark.functions import sampling, web
+    d = web.with_url_parts(
+        _t(spark, sf_dir, "documents")
+        .withColumn("url", web.synth_url(F.col("doc_id"),
+                                         F.col("source"))))
+    return sampling.grouped_split(d, _SPLITS)
+
+
 #: suffix semantics exercised: whole-TLD slice, exact host, exact
 #: www-host, and a pattern matching nothing
 _BLOCKLIST = ["example.net", "src1-7.example.com",
@@ -1680,7 +1723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry, ORDER MATTERS: the driver's correctness artifact
     records only the FIRST 50 entries in dict order (observed
     empirically: CORRECTNESS_r01/r02 each captured exactly registry
-    positions 1-50).  The registry now has 91 entries (82 with exact
+    positions 1-50).  The registry now has 93 entries (84 with exact
     DuckDB twins in oracle_sql()), so the prefix is ROTATED per round
     to maximize cumulative driver evidence:
 
@@ -1700,7 +1743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       whose strongest oracle lives in pytest (COVERAGE.md per-row).
     * After r3 every entry has >=1 driver-recorded row across rounds;
       `python tools/selfcheck.py /root/testdata/sf0.01` replays the
-      driver's exact compare over ALL 91 entries in one command.
+      driver's exact compare over ALL 93 entries in one command.
     """
     return {
         # --- driver window (first 50) ----------------------------
@@ -1786,6 +1829,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotation; selfcheck.py verifies them every run)
         "kg_type_closure": kg_type_closure,
         "kg_pred_profile": kg_pred_profile,
+        "text_normalize": text_normalize,
+        "sample_split": sample_split,
         # oracled, driver-green in BOTH r1 and r2 (rotated out this
         # round; selfcheck.py still verifies them every run)
         "rel_distinct": rel_distinct,
@@ -2591,4 +2636,18 @@ def oracle_sql() -> dict[str, str]:
         _SQL_CONFLICT_TRIPLES, _FUNCTIONAL_PREDS)
     sql["text_cooccur"] = ta.sql_cooccur_lift(
         "documents", top_v=40, min_pairs=2)
+    from gaia_spark.functions.normalize import sql_norm_stats
+    # same injected suffix as text_normalize, built from chr() so no
+    # raw control byte rides inside the SQL text
+    sfx = ("' Cafe' || chr(769) || ' A' || chr(778) || '  ' || "
+           "chr(1) || 'ctl'")
+    sql["text_normalize"] = sql_norm_stats(
+        f"(SELECT doc_id, CASE WHEN doc_id % 3 = 0 "
+        f"THEN text || {sfx} ELSE text END AS text FROM documents)")
+    from gaia_spark.functions.sampling import sql_grouped_split
+    sql["sample_split"] = sql_grouped_split(
+        f"(SELECT lang, {_web.sql_url_parts_select()} FROM "
+        f"(SELECT lang, {_web.sql_synth_url()} AS url "
+        f"FROM documents))",
+        _SPLITS)
     return sql

@@ -268,3 +268,73 @@ SELECT domain, key, rk FROM (
   FROM survivors
 ) WHERE rk <= {cap}
 """
+
+
+def grouped_split(df: DataFrame, splits_x10k: list[tuple[str, int]],
+                  group_col: str = "registered_domain",
+                  stratum_col: str = "lang") -> DataFrame:
+    """Leak-free train/val/test assignment: the SPLIT is a pure
+    function of the GROUP (registered domain), never the document.
+
+    Near-duplicate pages overwhelmingly share a site; splitting at
+    document granularity leaks templated near-dups of training pages
+    into eval.  Assigning whole groups — md5-bucket the group key
+    into [0, 10^4), carve by cumulative weight — guarantees every
+    page of a domain lands on one side, reproducibly across runs,
+    engines and partitionings (the leak-free contract is structural:
+    split = f(group); test_normalize_split.py asserts exactly one
+    split per group).
+
+    ``splits_x10k``: ordered (name, weight) with weights summing to
+    10^4, e.g. [("train", 9000), ("val", 500), ("test", 500)].
+
+    Returns the audit rollup (split, stratum, n_docs, n_groups)
+    rather than 10^12 assignment rows: the assignment itself is a
+    zero-shuffle projection callers inline; only the audit aggregates.
+
+    Scale shape: bucket + CASE are codegen'd column exprs on the scan
+    (no join, no shuffle); the rollup is one map-side-combined
+    groupBy over a 3x|strata| key space.  count_distinct(group)
+    partial-aggregates per map task — domains are Zipf-skewed in row
+    count but the distinct-agg keyspace is domain-sized, not row-sized.
+    """
+    assert sum(w for _, w in splits_x10k) == RATE_DEN
+    b = hash_bucket(F.coalesce(F.col(group_col), F.lit("")), RATE_DEN)
+    expr: Column | None = None
+    acc = 0
+    for name, w in splits_x10k[:-1]:
+        acc += w
+        cond = b < acc
+        expr = (F.when(cond, name) if expr is None
+                else expr.when(cond, name))
+    split = (expr.otherwise(splits_x10k[-1][0]) if expr is not None
+             else F.lit(splits_x10k[-1][0]))
+    return (
+        df.select(split.alias("split"),
+                  F.col(stratum_col).alias("stratum"),
+                  F.col(group_col).alias("grp"))
+        .groupBy("split", "stratum")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.count_distinct("grp").alias("n_groups"))
+    )
+
+
+def sql_grouped_split(rel: str, splits_x10k: list[tuple[str, int]],
+                      group_col: str = "registered_domain",
+                      stratum_col: str = "lang") -> str:
+    """DuckDB twin of grouped_split (same bucket, same carve)."""
+    assert sum(w for _, w in splits_x10k) == RATE_DEN
+    b = sql_hash_bucket(f"coalesce({group_col}, '')", RATE_DEN)
+    whens, acc = [], 0
+    for name, w in splits_x10k[:-1]:
+        acc += w
+        whens.append(f"WHEN {b} < {acc} THEN '{name}'")
+    case = ("CASE " + " ".join(whens)
+            + f" ELSE '{splits_x10k[-1][0]}' END")
+    return f"""
+SELECT {case} AS split, {stratum_col} AS stratum,
+       count(*)::BIGINT AS n_docs,
+       count(DISTINCT {group_col})::BIGINT AS n_groups
+FROM {rel}
+GROUP BY 1, 2
+"""
