@@ -20,7 +20,7 @@ any round count (SURVEY.md §4.3.3).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -621,3 +621,89 @@ WITH RECURSIVE e AS (
 )
 SELECT src, dst FROM r WHERE src <> dst
 """
+
+
+def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
+    """Synchronous label-propagation communities → (node, label)
+    after EXACTLY ``rounds`` parallel updates.
+
+    KG use: community structure over the entity co-occurrence graph
+    groups the pages/entities a curation pass should treat as one
+    topical unit (the coarse step above connected components, which
+    merges everything touching).  Unlike CC/k-core, synchronous LPA
+    has no guaranteed fixpoint (bipartite structures 2-cycle), so the
+    CONTRACT is the fixed round count itself — standard practice for
+    parallel LPA — and both engines run the identical schedule; no
+    convergence raise applies.
+
+    Deterministic by construction: every node starts as its own
+    label; each round every node adopts the most frequent label among
+    its neighbors, ties broken by MIN label (total order on strings).
+    Synchronous update + total-order tie-break → one bit-exact answer
+    on any engine and any partitioning (the classic async/random-order
+    LPA is irreproducible — useless for a cross-engine oracle).
+
+    Scale shape per round: one join of the directed edge table to the
+    (node, label) table keyed by node, one (node, label) map-side-
+    combined count, and a per-node window whose partition size is the
+    node's NEIGHBOR LABEL DIVERSITY (≤ degree, shrinking as labels
+    merge) — never corpus-sized.  ``localCheckpoint`` truncates
+    lineage per round so the plan stays flat at any depth; the edge
+    table materializes once and re-reads from block cache each round.
+    """
+    und = _undirected(edges)
+    sym = (
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(
+            und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("cnt").desc(), F.col("label").asc())
+    for _ in range(rounds):
+        labels = (
+            sym.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint()
+        )
+    return labels
+
+
+def sql_label_propagation(edges_sql: str, rounds: int = 4) -> str:
+    """DuckDB twin: the same synchronous schedule unrolled as
+    ``rounds`` MATERIALIZED CTEs (materialized for the same reason as
+    sql_kcore — each round is referenced once per successor but
+    DuckDB would inline the whole chain)."""
+    ctes = [f"""e AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM ({edges_sql}) WHERE src <> dst)
+  UNION ALL
+  SELECT b, a FROM (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM ({edges_sql}) WHERE src <> dst)
+)""", """l0 AS MATERIALIZED (
+  SELECT DISTINCT src AS node, src AS label FROM e
+)"""]
+    for i in range(1, rounds + 1):
+        ctes.append(f"""l{i} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT e.src AS node, l.label, count(*) AS cnt,
+           row_number() OVER (PARTITION BY e.src
+                              ORDER BY count(*) DESC, l.label ASC)
+             AS rn
+    FROM e JOIN l{i - 1} l ON e.dst = l.node
+    GROUP BY e.src, l.label)
+  WHERE rn = 1
+)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, label FROM l{rounds}")
