@@ -1663,6 +1663,23 @@ def text_decontaminate(spark, sf_dir):
     return dc.contamination_stats(corpus, ev)
 
 
+def text_decon_bloom(spark, sf_dir):
+    """Bloom-prefiltered decontamination — the documented scale path
+    for eval sets too big to broadcast exactly: m/8 BYTES broadcast +
+    vectorized-numpy membership over JVM-precomputed (h1, h2) ints,
+    exact join only on the pruned candidate slice.  IDENTICAL output
+    to text_decontaminate (Bloom FPs removed by the exact join), so
+    the same DuckDB twin oracles both physical paths — see
+    functions/decontaminate.py:contamination_stats_bloom."""
+    from gaia_spark.functions import decontaminate as dc
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.unionByName(
+        ev.select((F.col("doc_id") + 20_000_000).alias("doc_id"),
+                  "text"))
+    return dc.contamination_stats_bloom(spark, corpus, ev)
+
+
 def webtext_curate(spark, sf_dir):
     """End-to-end training-data curation funnel over ``documents``:
     quality gate → exact dedup (md5 keeper among quality docs) →
@@ -1736,7 +1753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry, ORDER MATTERS: the driver's correctness artifact
     records only the FIRST 50 entries in dict order (observed
     empirically: CORRECTNESS_r01/r02 each captured exactly registry
-    positions 1-50).  The registry now has 94 entries (85 with exact
+    positions 1-50).  The registry now has 95 entries (86 with exact
     DuckDB twins in oracle_sql()), so the prefix is ROTATED per round
     to maximize cumulative driver evidence:
 
@@ -1756,7 +1773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       whose strongest oracle lives in pytest (COVERAGE.md per-row).
     * After r3 every entry has >=1 driver-recorded row across rounds;
       `python tools/selfcheck.py /root/testdata/sf0.01` replays the
-      driver's exact compare over ALL 94 entries in one command.
+      driver's exact compare over ALL 95 entries in one command.
     """
     return {
         # --- driver window (first 50) ----------------------------
@@ -1845,6 +1862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": text_normalize,
         "sample_split": sample_split,
         "graph_labelprop": graph_labelprop,
+        "text_decon_bloom": text_decon_bloom,
         # oracled, driver-green in BOTH r1 and r2 (rotated out this
         # round; selfcheck.py still verifies them every run)
         "rel_distinct": rel_distinct,
@@ -2369,6 +2387,8 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id + 20000000 AS doc_id, text FROM documents "
         "WHERE doc_id % 97 = 0)",
         "(SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0)")
+    # identical semantics, Bloom-prefiltered physical path
+    sql["text_decon_bloom"] = sql["text_decontaminate"]
 
     from gaia_spark.functions import web as _web
     sql["web_urls"] = _web.sql_host_rollup(

@@ -21,11 +21,11 @@ Scale shape (100 TB corpus, benchmark-sized eval set):
 - the final flag attach is docs ⟕ hits on doc_id — AQE sees the hit
   table is small and broadcasts it back, so the whole operator adds
   ZERO corpus-wide exchanges;
-- for eval sets too big to broadcast, put a Bloom filter of the eval
-  fingerprints in front (``F.expr("might_contain(...)")`` /
-  ``bloom_filter_agg``) and broadcast only the filter; the exact join
-  then runs on the prefiltered (tiny) candidate slice.  Not needed at
-  benchmark scale, so not wired here.
+- for eval sets too big to broadcast, ``contamination_stats_bloom``
+  (below) puts a Bloom filter of the eval fingerprints in front and
+  broadcasts only the m/8-byte bitmap; the exact join then runs on
+  the prefiltered (tiny) candidate slice and removes the false
+  positives, so both operators return identical rows.
 """
 
 from __future__ import annotations
@@ -152,3 +152,148 @@ FROM (SELECT DISTINCT {id_col} AS doc_id FROM {docs_rel}) d
 LEFT JOIN ng USING (doc_id)
 LEFT JOIN hits USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered variant — eval sets too big to broadcast exactly
+# ---------------------------------------------------------------------------
+
+def _bloom_params(n_items: int, fpp: float) -> tuple[int, int]:
+    """Standard sizing: m = -n·ln p / ln²2 bits (word-rounded),
+    k = (m/n)·ln 2 probes."""
+    import math
+    n = max(n_items, 1)
+    m = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+    m = (m + 63) // 64 * 64
+    k = max(1, round(m / n * math.log(2)))
+    return m, k
+
+
+def _h1h2(g: Column) -> tuple[Column, Column]:
+    """Two independent 60-bit integers carved JVM-side from the md5
+    hex fingerprint (15 hex chars each — conv() stays inside BIGINT),
+    feeding the classic double-hashing scheme h1 + i·h2."""
+    return (F.conv(F.substring(g, 1, 15), 16, 10).cast("bigint"),
+            F.conv(F.substring(g, 16, 15), 16, 10).cast("bigint"))
+
+
+def build_eval_bloom(spark, eval_df: DataFrame, text_col: str = "text",
+                     n: int = DECON_N, fpp: float = 0.01):
+    """Bloom filter over the eval set's gram fingerprints →
+    (broadcast bitmap bytes, m, k).
+
+    Build is distributed: each partition folds its (h1, h2) batch
+    into a local numpy bitmap (mapInPandas, one m/8-byte row per
+    partition), the driver ORs the partials and ships ONE broadcast
+    of m/8 bytes — at 10^7 eval grams and 1% fpp that is ~12 MB,
+    vs ~10× that for broadcasting the exact fingerprint table.
+    Deterministic: the bitmap is a pure function of (grams, m, k).
+    """
+    import numpy as np
+    import pandas as pd
+
+    ev = eval_grams(eval_df, text_col, n)
+    h1, h2 = _h1h2(F.col("g"))
+    hashed = ev.select(h1.alias("h1"), h2.alias("h2"))
+    m, k = _bloom_params(hashed.count(), fpp)
+
+    def fold(batches):
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            a = pdf["h1"].to_numpy(np.uint64) % m
+            b = pdf["h2"].to_numpy(np.uint64) % m
+            for i in range(k):
+                idx = (a + np.uint64(i) * b) % np.uint64(m)
+                np.bitwise_or.at(bits, idx >> np.uint64(3),
+                                 np.left_shift(
+                                     np.uint8(1),
+                                     (idx & np.uint64(7)).astype(np.uint8)))
+        if seen:
+            yield pd.DataFrame({"bits": [bits.tobytes()]})
+
+    partials = hashed.mapInPandas(fold, schema="bits binary").collect()
+    acc = np.zeros(m // 8, dtype=np.uint8)
+    for row in partials:
+        acc |= np.frombuffer(row["bits"], dtype=np.uint8)
+    return spark.sparkContext.broadcast(acc.tobytes()), m, k
+
+
+def contamination_stats_bloom(
+    spark,
+    docs: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = DECON_N,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """``contamination_stats`` with a Bloom prefilter on the corpus
+    side — the documented scale path for eval sets too big to
+    broadcast exactly.  IDENTICAL output (false positives are removed
+    by the exact join over the pruned candidate slice), so the same
+    DuckDB twin oracles both operators.
+
+    Scale shape: the corpus-side membership test is a broadcast of
+    m/8 BYTES + a vectorized-numpy pandas UDF over JVM-precomputed
+    (h1, h2) ints — no string parsing in Python, no corpus-wide
+    exchange.  Rows surviving to the exact join ≈ true hits +
+    fpp × corpus grams; that slice joins the eval fingerprint table
+    however AQE prefers (no forced broadcast of the big eval side).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    bcast, m, k = build_eval_bloom(spark, eval_df, text_col, n, fpp)
+
+    @pandas_udf("boolean")
+    def might_contain(h1, h2):
+        # bare signature: postponed annotations (future import) break
+        # pandas_udf's pd.Series signature check
+        bits = np.frombuffer(bcast.value, dtype=np.uint8)
+        a = h1.to_numpy(np.uint64) % m
+        b = h2.to_numpy(np.uint64) % m
+        ok = np.ones(len(a), dtype=bool)
+        for i in range(k):
+            idx = (a + np.uint64(i) * b) % np.uint64(m)
+            ok &= (bits[idx >> np.uint64(3)]
+                   & np.left_shift(np.uint8(1),
+                                   (idx & np.uint64(7)).astype(np.uint8))
+                   ) > 0
+        return pd.Series(ok)
+
+    ev = eval_grams(eval_df, text_col, n)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(ngram_md5_col(text_col, n)).alias("grams"),
+    )
+    h1, h2 = _h1h2(F.col("g"))
+    candidates = (
+        base.select("doc_id", F.explode("grams").alias("g"))
+        .filter(might_contain(h1, h2))
+    )
+    hits = (
+        candidates.join(ev, "g")        # exact: removes Bloom FPs
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        base.select("doc_id", F.size("grams").alias("n_grams"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint")
+            .alias("n_hits"),
+            F.floor(
+                F.lit(SCALE)
+                * F.coalesce("n_hits", F.lit(0)).cast("double")
+                / F.greatest("n_grams", F.lit(1)).cast("double")
+            ).alias("hit_frac_x10k"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
