@@ -120,3 +120,108 @@ SELECT doc_id, n_tokens, surprisal_cb,
             ELSE {OOV_CB} END::BIGINT AS mean_surprisal_cb
 FROM scored
 """
+
+
+#: centibit discount a known context word buys its successor — stands
+#: in for the bigram table a real KenLM ships (the sandbox can't);
+#: the KERNEL shape (pairwise in-row scan, exact integer sum) is what
+#: a real bigram map would swap into.
+BIGRAM_DISCOUNT_CB = 150
+
+
+def lm_score_bigram(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Bigram-context fluency score → same schema as ``lm_score``
+    (doc_id, n_tokens, surprisal_cb, mean_surprisal_cb), lower =
+    more fluent.
+
+    Per-token surprisal with a one-word context model:
+
+    - first token: unigram surprisal (or OOV);
+    - token i (i ≥ 2): if BOTH (t[i-1], t[i]) are in-vocab, unigram
+      surprisal of t[i] minus ``BIGRAM_DISCOUNT_CB`` floored at 0
+      (a common word after a common word reads cheaper); in-vocab
+      t[i] after OOV context pays full unigram; OOV t[i] pays OOV_CB.
+
+    All integer centibits — associative-exact, hash-identical to the
+    DuckDB twin.  In-row shape: ONE ``aggregate`` over the pair
+    sequence, no explode, no join, no Python.
+    """
+    m = surprisal_map()
+    toks = _tokens(F.col(text_col))
+
+    def pair_cb(acc: Column, i: Column) -> Column:
+        prev = F.element_at(m, F.element_at(toks, i - 1))
+        cur = F.element_at(m, F.element_at(toks, i)).cast("bigint")
+        # the discount branch requires BOTH ends in-vocab: greatest()
+        # SKIPS nulls on both engines, so greatest(NULL - d, 0) would
+        # silently score an OOV token as 0 ("free") after any known
+        # context word
+        return acc + F.coalesce(
+            F.when(prev.isNotNull() & cur.isNotNull(),
+                   F.greatest(cur - BIGRAM_DISCOUNT_CB,
+                              F.lit(0).cast("bigint")))
+            .otherwise(cur),
+            F.lit(OOV_CB).cast("bigint"))
+
+    first = F.coalesce(
+        F.element_at(m, F.element_at(toks, 1)).cast("bigint"),
+        F.lit(OOV_CB).cast("bigint"))
+    # Spark's sequence(2, 1) DESCENDS — guard n <= 1 explicitly
+    # (DuckDB's range(2, 2) is empty, no guard needed there)
+    total = (
+        F.when(F.size(toks) == 0, F.lit(0).cast("bigint"))
+        .when(F.size(toks) == 1, first)
+        .otherwise(first + F.aggregate(
+            F.sequence(F.lit(2), F.size(toks)),
+            F.lit(0).cast("bigint"), pair_cb)))
+    n = F.size(toks).cast("bigint")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n.alias("n_tokens"),
+        total.alias("surprisal_cb"),
+    ).select(
+        "doc_id", "n_tokens", "surprisal_cb",
+        F.when(F.col("n_tokens") > 0,
+               F.expr("surprisal_cb div n_tokens"))
+        .otherwise(F.lit(OOV_CB).cast("bigint"))
+        .alias("mean_surprisal_cb"),
+    )
+
+
+def sql_lm_score_bigram(rel: str, text_col: str = "text",
+                        id_col: str = "doc_id") -> str:
+    """DuckDB twin of lm_score_bigram (same map, same discount)."""
+    keys = ", ".join(f"'{w}'" for w in sorted(SURPRISAL_CB))
+    vals = ", ".join(str(SURPRISAL_CB[w]) for w in sorted(SURPRISAL_CB))
+    m = f"map([{keys}], [{vals}])"
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id,
+         list_filter(string_split_regex(lower({text_col}),
+                                        '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM {rel}
+), scored AS (
+  SELECT doc_id,
+         len(ts)::BIGINT AS n_tokens,
+         CASE WHEN len(ts) = 0 THEN 0 ELSE
+           coalesce(map_extract({m}, ts[1])[1], {OOV_CB})::BIGINT
+           + coalesce(list_sum(list_transform(
+               range(2, len(ts) + 1),
+               i -> coalesce(
+                 CASE WHEN map_extract({m}, ts[i - 1])[1] IS NOT NULL
+                       AND map_extract({m}, ts[i])[1] IS NOT NULL
+                   THEN greatest(
+                     map_extract({m}, ts[i])[1] - {BIGRAM_DISCOUNT_CB},
+                     0)
+                   ELSE map_extract({m}, ts[i])[1] END,
+                 {OOV_CB}))), 0)::BIGINT
+         END AS surprisal_cb
+  FROM toks
+)
+SELECT doc_id, n_tokens, surprisal_cb,
+       CASE WHEN n_tokens > 0 THEN surprisal_cb // n_tokens
+            ELSE {OOV_CB} END::BIGINT AS mean_surprisal_cb
+FROM scored
+"""

@@ -64,3 +64,39 @@ class TestLM:
         rows = {r.doc_id: r.mean_surprisal_cb
                 for r in lm_score(df).collect()}
         assert rows[1] < rows[2] == OOV_CB
+
+
+def test_bigram_discount_semantics(spark):
+    from gaia_spark.functions.lm import (
+        BIGRAM_DISCOUNT_CB, OOV_CB, SURPRISAL_CB, lm_score_bigram)
+    rows = [
+        (1, "the of"),          # both in vocab: uni(the) + (uni(of)-150)
+        (2, "zzz the"),         # OOV context: OOV + full uni(the)
+        (3, "the zzz"),         # OOV token after vocab: uni(the) + OOV
+        (4, "the"),             # single token: uni only (no desc-seq bug)
+        (5, ""),                # empty: 0 total, OOV mean
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["surprisal_cb"],
+                         r["mean_surprisal_cb"])
+           for r in lm_score_bigram(df).collect()}
+    uni = SURPRISAL_CB
+    assert got[1] == (2, uni["the"] + max(uni["of"] - BIGRAM_DISCOUNT_CB, 0),
+                      got[1][1] // 2)
+    assert got[2] == (2, OOV_CB + uni["the"], (OOV_CB + uni["the"]) // 2)
+    assert got[3] == (2, uni["the"] + OOV_CB, (uni["the"] + OOV_CB) // 2)
+    assert got[4] == (1, uni["the"], uni["the"])
+    assert got[5] == (0, 0, OOV_CB)
+
+
+def test_bigram_scores_fluent_below_shuffled(spark):
+    from gaia_spark.functions.lm import lm_score_bigram
+    # in-vocab running text earns the context discount everywhere;
+    # the same words interleaved with OOV junk loses it
+    fluent = "the of and to a in is it you that"
+    junk = "the qqq of qqq and qqq to qqq a qqq"
+    df = spark.createDataFrame(
+        [(1, fluent), (2, junk)], "doc_id int, text string")
+    got = {r["doc_id"]: r["mean_surprisal_cb"]
+           for r in lm_score_bigram(df).collect()}
+    assert got[1] < got[2]
