@@ -1663,6 +1663,23 @@ def text_decontaminate(spark, sf_dir):
     return dc.contamination_stats(corpus, ev)
 
 
+def web_robots(spark, sf_dir):
+    """robots.txt policy filter: parse deterministic per-host robots
+    bodies (flat wildcard-agent profile) and apply Google
+    longest-match / allow-beats-disallow semantics per URL.  Rules
+    join host-keyed (AQE broadcasts the tiny parsed side), winner =
+    one per-URL window over matched rules only — see
+    functions/web.py:robots_verdicts."""
+    from gaia_spark.functions import web
+    d = web.with_url_parts(
+        _t(spark, sf_dir, "documents")
+        .withColumn("url", web.synth_url(F.col("doc_id"),
+                                         F.col("source"))))
+    robots = (d.select("host").distinct()
+              .withColumn("robots_txt", web.synth_robots(F.col("host"))))
+    return web.robots_verdicts(d, robots)
+
+
 def text_lm_bigram(spark, sf_dir):
     """Bigram-context fluency scoring (unigram table + in-vocab
     context discount, exact integer centibits): the pairwise in-row
@@ -1763,7 +1780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry, ORDER MATTERS: the driver's correctness artifact
     records only the FIRST 50 entries in dict order (observed
     empirically: CORRECTNESS_r01/r02 each captured exactly registry
-    positions 1-50).  The registry now has 96 entries (87 with exact
+    positions 1-50).  The registry now has 97 entries (88 with exact
     DuckDB twins in oracle_sql()), so the prefix is ROTATED per round
     to maximize cumulative driver evidence:
 
@@ -1783,7 +1800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       whose strongest oracle lives in pytest (COVERAGE.md per-row).
     * After r3 every entry has >=1 driver-recorded row across rounds;
       `python tools/selfcheck.py /root/testdata/sf0.01` replays the
-      driver's exact compare over ALL 96 entries in one command.
+      driver's exact compare over ALL 97 entries in one command.
     """
     return {
         # --- driver window (first 50) ----------------------------
@@ -1874,6 +1891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_labelprop": graph_labelprop,
         "text_decon_bloom": text_decon_bloom,
         "text_lm_bigram": text_lm_bigram,
+        "web_robots": web_robots,
         # oracled, driver-green in BOTH r1 and r2 (rotated out this
         # round; selfcheck.py still verifies them every run)
         "rel_distinct": rel_distinct,
@@ -2688,6 +2706,15 @@ def oracle_sql() -> dict[str, str]:
     # raw control byte rides inside the SQL text
     sfx = ("' Cafe' || chr(769) || ' A' || chr(778) || '  ' || "
            "chr(1) || 'ctl'")
+    _robots_urls = (
+        f"(SELECT url, {_web.sql_url_parts_select()} FROM "
+        f"(SELECT {_web.sql_synth_url()} AS url FROM documents))")
+    sql["web_robots"] = _web.sql_robots_verdicts(
+        _robots_urls,
+        f"(SELECT host, {_web.sql_synth_robots('host')} AS robots_txt "
+        f"FROM (SELECT DISTINCT lower(regexp_extract("
+        f"{_web.sql_synth_url()}, '^[a-z]+://([^/?#]+)', 1)) AS host "
+        f"FROM documents))")
     sql["text_normalize"] = sql_norm_stats(
         f"(SELECT doc_id, CASE WHEN doc_id % 3 = 0 "
         f"THEN text || {sfx} ELSE text END AS text FROM documents)")

@@ -18,7 +18,7 @@ the test domain, documented approximate outside it).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: regex twins (Java + RE2-safe syntax; used verbatim in the oracle)
@@ -583,4 +583,136 @@ SELECT dst_host,
        max_by(anchor, lpad(cnt::VARCHAR, 12, '0') || anchor)
            AS top_anchor
 FROM per_anchor GROUP BY dst_host
+"""
+
+
+# ---------------------------------------------------------------------------
+# robots.txt policy: parse → longest-match verdict per URL
+# ---------------------------------------------------------------------------
+
+#: rule-line shape shared by both engines (Java regex and RE2 read it
+#: identically): "Allow: /prefix" / "Disallow: /prefix"
+ROBOTS_LINE_RE = r"^(Allow|Disallow): (/[^ ]*)"
+
+
+def synth_robots(host: Column) -> Column:
+    """Deterministic robots.txt per host (flat wildcard-agent
+    profile): a Disallow on one /p/<i> section, an Allow carve-out
+    for its /item- subtree, and on half the hosts a second Disallow —
+    enough structure to exercise parse, longest-match, and the
+    allow-beats-disallow tie rule."""
+    b = (F.conv(F.substring(F.md5(host), 1, 8), 16, 10)
+         .cast("bigint") % 10)
+    sec = (b % 11).cast("string")
+    sec2 = ((b + 3) % 11).cast("string")
+    return F.concat(
+        F.lit("User-agent: *\n"),
+        F.lit("Disallow: /p/"), sec, F.lit("\n"),
+        F.lit("Allow: /p/"), sec, F.lit("/item-"), F.lit("\n"),
+        F.when(b % 2 == 0,
+               F.concat(F.lit("Disallow: /p/"), sec2, F.lit("\n")))
+        .otherwise(F.lit("")))
+
+
+def sql_synth_robots(host: str) -> str:
+    """DuckDB twin of synth_robots."""
+    b = f"(('0x' || substr(md5({host}), 1, 8))::BIGINT % 10)"
+    return (
+        f"'User-agent: *' || chr(10)"
+        f" || 'Disallow: /p/' || ({b} % 11)::VARCHAR || chr(10)"
+        f" || 'Allow: /p/' || ({b} % 11)::VARCHAR || '/item-' || chr(10)"
+        f" || CASE WHEN {b} % 2 = 0 THEN"
+        f"      'Disallow: /p/' || (({b} + 3) % 11)::VARCHAR || chr(10)"
+        f"    ELSE '' END")
+
+
+def robots_rules(robots: DataFrame, host_col: str = "host",
+                 txt_col: str = "robots_txt") -> DataFrame:
+    """Parse robots bodies → (host, allow: int, prefix).
+
+    Flat wildcard-agent profile: every Allow/Disallow line applies
+    (the pre-flattened snapshot shape crawl post-filters consume;
+    per-agent sectioning is an upstream concern).  Split + regexp
+    stay JVM-side; only rule lines explode (a handful per host).
+    """
+    line = F.explode(F.split(F.col(txt_col), "\n")).alias("line")
+    return (
+        robots.select(F.col(host_col).alias("host"), line)
+        .select(
+            "host",
+            (F.regexp_extract("line", ROBOTS_LINE_RE, 1) == "Allow")
+            .cast("int").alias("allow"),
+            F.regexp_extract("line", ROBOTS_LINE_RE, 2).alias("prefix"))
+        .filter(F.col("prefix") != "")
+    )
+
+
+def robots_verdicts(urls: DataFrame, robots: DataFrame) -> DataFrame:
+    """Per-URL robots verdict → (url, host, blocked, rule).
+
+    Google longest-match semantics: the most specific (longest)
+    matching prefix decides; a length tie goes to Allow; residual
+    ties break on the lexicographically greatest prefix (total order
+    — same winner on any engine/partitioning).  URLs with no matching
+    rule default to allowed with a NULL rule.
+
+    Scale shape: rules join the URL table keyed by host (rule tables
+    are a handful of rows per host — AQE broadcasts the parsed rule
+    side; a true web-scale rule table still joins fine, it is
+    host-partitioned like the URLs).  The prefix match filters
+    POST-join, the winner is one per-URL window over matched rules
+    only (≤ rules-per-host rows per URL), and the final verdict
+    re-attaches by a url-keyed left join.
+    """
+    rules = robots_rules(robots)
+    matched = (
+        urls.select("url", "host", "path")
+        .join(rules, "host")
+        .filter(F.col("path").startswith(F.col("prefix")))
+    )
+    w = Window.partitionBy("url").orderBy(
+        F.length("prefix").desc(), F.col("allow").desc(),
+        F.col("prefix").desc())
+    winner = (
+        matched.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("url", (F.col("allow") == 0).alias("blocked"),
+                F.col("prefix").alias("rule"))
+    )
+    return (
+        urls.select("url", "host")
+        .join(winner, "url", "left")
+        .select("url", "host",
+                F.coalesce("blocked", F.lit(False)).alias("blocked"),
+                "rule")
+    )
+
+
+def sql_robots_verdicts(urls_rel: str, robots_rel: str) -> str:
+    """DuckDB twin of robots_verdicts over the same relations
+    (urls_rel: url/host/path; robots_rel: host/robots_txt)."""
+    return f"""
+WITH rules AS (
+  SELECT host,
+         (regexp_extract(line, '{ROBOTS_LINE_RE}', 1) = 'Allow')::INT
+           AS allow,
+         regexp_extract(line, '{ROBOTS_LINE_RE}', 2) AS prefix
+  FROM (SELECT host, unnest(string_split(robots_txt, chr(10))) AS line
+        FROM {robots_rel})
+  WHERE regexp_extract(line, '{ROBOTS_LINE_RE}', 2) <> ''
+), matched AS (
+  SELECT u.url, r.allow, r.prefix,
+         row_number() OVER (PARTITION BY u.url
+                            ORDER BY length(r.prefix) DESC,
+                                     r.allow DESC, r.prefix DESC)
+           AS rn
+  FROM {urls_rel} u JOIN rules r ON u.host = r.host
+  WHERE starts_with(u.path, r.prefix)
+)
+SELECT u.url, u.host,
+       coalesce(m.allow = 0, FALSE) AS blocked,
+       m.prefix AS rule
+FROM {urls_rel} u
+LEFT JOIN (SELECT url, allow, prefix FROM matched WHERE rn = 1) m
+  USING (url)
 """

@@ -152,3 +152,69 @@ def test_cross_engine_sf0001(spark, name):
     if name == "web_anchor_text":  # text-derived anchors, not constants
         anchors = {r[-1] for r in w}
         assert len(anchors) > 10
+
+
+def test_robots_longest_match_and_tie(spark):
+    from gaia_spark.functions.web import robots_rules, robots_verdicts
+    urls = spark.createDataFrame(
+        [("u1", "h1", "/p/3/item-7"),   # allow carve-out beats /p/3
+         ("u2", "h1", "/p/3/other"),    # only Disallow /p/3 matches
+         ("u3", "h1", "/q/9"),          # no rule -> default allow
+         ("u4", "h1", "/tie"),          # equal-length Allow vs Disallow
+         ("u5", "h2", "/p/3")],         # other host: no rules at all
+        "url string, host string, path string")
+    robots = spark.createDataFrame(
+        [("h1", "User-agent: *\n"
+                "Disallow: /p/3\n"
+                "Allow: /p/3/item-\n"
+                "Disallow: /tie\n"
+                "Allow: /tie\n"
+                "Disallow:\n"          # empty prefix line ignored
+                "# comment\n")],
+        "host string, robots_txt string")
+    rules = {(r["allow"], r["prefix"])
+             for r in robots_rules(robots).collect()}
+    assert rules == {(0, "/p/3"), (1, "/p/3/item-"),
+                     (0, "/tie"), (1, "/tie")}
+    got = {r["url"]: (r["blocked"], r["rule"])
+           for r in robots_verdicts(urls, robots).collect()}
+    assert got["u1"] == (False, "/p/3/item-")   # longest match wins
+    assert got["u2"] == (True, "/p/3")
+    assert got["u3"] == (False, None)
+    assert got["u4"] == (False, "/tie")         # tie -> allow
+    assert got["u5"] == (False, None)
+
+
+def test_robots_matches_duckdb(spark):
+    import duckdb
+    from gaia_spark.functions import web
+    from pyspark.sql import functions as F
+    d = web.with_url_parts(
+        spark.createDataFrame(
+            [(i, f"s{i % 5}") for i in range(80)],
+            "doc_id long, source string")
+        .withColumn("url", web.synth_url(F.col("doc_id"),
+                                         F.col("source"))))
+    robots = (d.select("host").distinct()
+              .withColumn("robots_txt",
+                          web.synth_robots(F.col("host"))))
+    got = {r["url"]: (r["blocked"], r["rule"])
+           for r in web.robots_verdicts(d, robots).collect()}
+    con = duckdb.connect()
+    urls_rel = (f"(SELECT url, {web.sql_url_parts_select()} FROM "
+                f"(SELECT {web.sql_synth_url()} AS url, doc_id, source"
+                f" FROM t))")
+    robots_rel = (f"(SELECT host, {web.sql_synth_robots('host')} AS "
+                  f"robots_txt FROM (SELECT DISTINCT lower("
+                  f"regexp_extract({web.sql_synth_url()},"
+                  f" '^[a-z]+://([^/?#]+)', 1)) AS host FROM t))")
+    con.execute("CREATE TABLE t(doc_id BIGINT, source VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)",
+                    [(i, f"s{i % 5}") for i in range(80)])
+    want = {r[0]: (r[2], r[3])
+            for r in con.sql(
+                web.sql_robots_verdicts(urls_rel, robots_rel)
+            ).fetchall()}
+    assert got == want
+    assert any(b for b, _ in got.values())       # some blocked
+    assert any(not b for b, _ in got.values())   # some allowed
