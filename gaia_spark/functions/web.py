@@ -716,3 +716,143 @@ FROM {urls_rel} u
 LEFT JOIN (SELECT url, allow, prefix FROM matched WHERE rn = 1) m
   USING (url)
 """
+
+
+# ---------------------------------------------------------------------------
+# crawl-budget apportionment: largest-remainder (Hamilton) method
+# ---------------------------------------------------------------------------
+
+def crawl_budget(urls: DataFrame, budget: int,
+                 domain_col: str = "registered_domain") -> DataFrame:
+    """Apportion an integer crawl ``budget`` across registered
+    domains proportional to their page counts → (domain, pages,
+    quota), Σ quota = min(budget, Σ... ) = budget exactly.
+
+    Hamilton / largest-remainder, ALL-INTEGER: base quota =
+    floor(budget·w/W); the leftover seats go to the largest
+    remainders budget·w - base·W (ties: larger w first, then lexical
+    domain — a total order, so the same seats on any engine).  Fair
+    proportional allocation is the standard recrawl-scheduling
+    primitive (politeness budgets per site per cycle).
+
+    Scale shape: ONE corpus-wide map-side-combined count keyed by
+    domain; everything after runs on the DOMAIN table (vocabulary-
+    scale, 10^6-10^7 rows at web scale) — the rank-remainders window
+    is a single global sort of that small table, never the corpus.
+    """
+    w = (urls.groupBy(F.col(domain_col).alias("domain"))
+         .agg(F.count(F.lit(1)).alias("pages")))
+    tot = w.agg(F.sum("pages").alias("W")).select(
+        "W", F.lit(1).alias("__j"))
+    scored = (
+        w.withColumn("__j", F.lit(1)).join(F.broadcast(tot), "__j")
+        .select(
+            "domain", "pages", "W",
+            F.expr(f"CAST({budget} AS BIGINT) * pages DIV W")
+            .alias("base"),
+            (F.lit(budget).cast("bigint") * F.col("pages")
+             - F.expr(f"CAST({budget} AS BIGINT) * pages DIV W")
+             * F.col("W")).alias("rem"))
+    )
+    rank = Window.orderBy(F.col("rem").desc(), F.col("pages").desc(),
+                          F.col("domain").asc())
+    leftover = (F.lit(budget).cast("bigint")
+                - F.sum("base").over(Window.partitionBy()))
+    return (
+        scored.withColumn("rk", F.row_number().over(rank))
+        .withColumn("__left", leftover)
+        .select("domain", "pages",
+                (F.col("base")
+                 + (F.col("rk") <= F.col("__left")).cast("bigint"))
+                .alias("quota"))
+    )
+
+
+def sql_crawl_budget(urls_rel: str, budget: int,
+                     domain_col: str = "registered_domain") -> str:
+    """DuckDB twin of crawl_budget (same floors, same tie order)."""
+    return f"""
+WITH w AS (
+  SELECT {domain_col} AS domain, count(*)::BIGINT AS pages
+  FROM {urls_rel} GROUP BY {domain_col}
+), scored AS (
+  -- sums pinned to BIGINT: DuckDB's sum() promotes to HUGEINT and
+  -- drags quota into a non-BIGINT type the Spark twin never produces
+  SELECT domain, pages,
+         {budget}::BIGINT * pages
+           // (SELECT sum(pages)::BIGINT FROM w) AS base,
+         {budget}::BIGINT * pages
+           - ({budget}::BIGINT * pages
+              // (SELECT sum(pages)::BIGINT FROM w))
+             * (SELECT sum(pages)::BIGINT FROM w) AS rem
+  FROM w
+)
+SELECT domain, pages,
+       (base + (row_number() OVER (ORDER BY rem DESC, pages DESC,
+                                   domain ASC)
+                <= {budget}::BIGINT
+                   - (SELECT sum(base)::BIGINT FROM scored))::BIGINT
+       )::BIGINT AS quota
+FROM scored
+"""
+
+
+# ---------------------------------------------------------------------------
+# rendezvous (highest-random-weight) shard assignment
+# ---------------------------------------------------------------------------
+
+def rendezvous_shard(key: Column, shards: list[str]) -> Column:
+    """Deterministic shard for ``key`` by rendezvous hashing: the
+    shard whose md5(key ':' shard) is greatest wins.
+
+    The property exact/mod-N hashing lacks: REMOVING a shard remaps
+    ONLY that shard's keys (each surviving shard keeps its win), so a
+    storage-node change at 100 TB moves 1/N of the data instead of
+    (N-1)/N.  In-row argmax over a literal shard array — zero
+    shuffle, codegen'd; ties are impossible in practice but the
+    struct max breaks them by shard name (total order).
+    """
+    scored = F.array(*[
+        F.struct(
+            F.md5(F.concat(key, F.lit(":"), F.lit(s))).alias("h"),
+            F.lit(s).alias("shard"))
+        for s in sorted(shards)])
+    return F.array_max(scored)["shard"]
+
+
+def shard_assignment(df: DataFrame, shards: list[str],
+                     key_col: str = "url") -> DataFrame:
+    """Per-shard placement rollup → (shard, n_keys): the audit table
+    of a rendezvous-hash data placement.  Assignment is a zero-
+    shuffle projection; only the |shards|-key rollup aggregates."""
+    return (
+        df.select(rendezvous_shard(F.col(key_col), shards)
+                  .alias("shard"))
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+    )
+
+
+def sql_shard_assignment(rel: str, shards: list[str],
+                         key_col: str = "url") -> str:
+    """DuckDB twin of shard_assignment (same md5 tournament, via
+    unnest + per-key argmax window)."""
+    vals = ", ".join(f"('{s}')" for s in sorted(shards))
+    # the tournament runs once per DISTINCT key (duplicate key values
+    # would otherwise collapse inside the per-key window) and each
+    # key's ROW COUNT re-attaches, matching the Spark per-row rollup
+    return f"""
+WITH keys AS (
+  SELECT {key_col} AS k, count(*)::BIGINT AS c
+  FROM {rel} GROUP BY {key_col}
+), scored AS (
+  SELECT k, c, s.shard,
+         row_number() OVER (PARTITION BY k
+                            ORDER BY md5(k || ':' || s.shard) DESC,
+                                     s.shard DESC) AS rn
+  FROM keys CROSS JOIN (SELECT * FROM (VALUES {vals}) v(shard)) s
+)
+SELECT shard, sum(c)::BIGINT AS n_keys
+FROM scored WHERE rn = 1
+GROUP BY shard
+"""

@@ -218,3 +218,56 @@ def test_robots_matches_duckdb(spark):
     assert got == want
     assert any(b for b, _ in got.values())       # some blocked
     assert any(not b for b, _ in got.values())   # some allowed
+
+
+def test_crawl_budget_exact_sum_and_ties(spark):
+    from pyspark.sql import functions as F
+    from gaia_spark.functions.web import crawl_budget
+    # budget 7 over weights 3,3,3,1 (W=10): ideal shares 2.1/2.1/
+    # 2.1/0.7 -> bases 2,2,2,0, one leftover seat -> d.com's
+    # remainder (0.7) beats the three-way 0.1 tie
+    rows = ([("a.com",)] * 3 + [("b.com",)] * 3 + [("c.com",)] * 3
+            + [("d.com",)])
+    df = spark.createDataFrame(rows, "registered_domain string")
+    got = {r["domain"]: r["quota"]
+           for r in crawl_budget(df, budget=7).collect()}
+    assert got == {"a.com": 2, "b.com": 2, "c.com": 2, "d.com": 1}
+    assert sum(got.values()) == 7
+    # remainder TIE exercised: budget 5 over 1,1,1,1 (W=4): bases
+    # 1,1,1,1, one leftover, four-way remainder tie (0.25 each) ->
+    # pages tie -> lexical min domain wins the seat
+    df3 = spark.createDataFrame(
+        [("a.com",), ("b.com",), ("c.com",), ("d.com",)],
+        "registered_domain string")
+    got3 = {r["domain"]: r["quota"]
+            for r in crawl_budget(df3, budget=5).collect()}
+    assert got3 == {"a.com": 2, "b.com": 1, "c.com": 1, "d.com": 1}
+    # exact-sum invariant on a skewed distribution
+    rows2 = [(f"z{i % 13}.org",) for i in range(997)]
+    df2 = spark.createDataFrame(rows2, "registered_domain string")
+    out = crawl_budget(df2, budget=101)
+    assert out.agg(F.sum("quota")).collect()[0][0] == 101
+
+
+def test_rendezvous_minimal_movement(spark):
+    from pyspark.sql import functions as F
+    from gaia_spark.functions.web import rendezvous_shard
+    shards = [f"node-{i:02d}" for i in range(8)]
+    df = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(400)], "url string")
+    full = {r["url"]: r["s"] for r in df.select(
+        "url", rendezvous_shard(F.col("url"), shards).alias("s")
+    ).collect()}
+    dropped = shards[3]
+    reduced = {r["url"]: r["s"] for r in df.select(
+        "url", rendezvous_shard(
+            F.col("url"), [s for s in shards if s != dropped]
+        ).alias("s")).collect()}
+    moved = {k for k in full if full[k] != reduced[k]}
+    # ONLY the dropped shard's keys move — the defining property
+    assert moved == {k for k, s in full.items() if s == dropped}
+    assert len(moved) > 0
+    # and the load is roughly uniform (md5 tournament): no shard
+    # holds more than 3x its fair share at n=400, k=8
+    from collections import Counter
+    assert max(Counter(full.values()).values()) < 3 * 400 / 8
