@@ -338,3 +338,40 @@ class Catalog:
                    "part_id int, key_min string, key_max string, "
                    "out_rows long, created string",
         )
+
+    def vacuum(self) -> dict[str, list[str]]:
+        """Remove killed-run debris across all tables: ``_tmp_*``
+        staging dirs and ``data_*`` generations not referenced by
+        _CURRENT.
+
+        ``write`` already drops superseded generations eagerly on its
+        pointer swap — but only for the table IT writes.  A killed
+        run leaves debris (a half-written ``_tmp_x``, or a completed
+        ``data_x`` whose pointer swap never happened) on tables a
+        RESUME then skips forever, so an explicit GC is the only
+        thing that ever reclaims them.  Safe by the same atomicity
+        argument as write's own cleanup: anything other than the
+        _CURRENT generation is unreferenced.  Tables without a valid
+        _CURRENT pointer are skipped entirely (never guess what a
+        broken table should keep).
+
+        → {table: [removed dir names]}, for the operator's log.
+        """
+        import shutil
+
+        removed: dict[str, list[str]] = {}
+        for name in sorted(os.listdir(self.root)):
+            tdir = self._tdir(name)
+            if not os.path.isdir(tdir):
+                continue
+            m = self.current_manifest(name)
+            if m is None:
+                continue
+            cur = f"data_{m['run_id']}"
+            for d in sorted(os.listdir(tdir)):
+                if d == cur:
+                    continue
+                if d.startswith("_tmp_") or d.startswith("data_"):
+                    shutil.rmtree(os.path.join(tdir, d))
+                    removed.setdefault(name, []).append(d)
+        return removed

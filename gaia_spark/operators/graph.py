@@ -707,3 +707,74 @@ def sql_label_propagation(edges_sql: str, rounds: int = 4) -> str:
 )""")
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT node, label FROM l{rounds}")
+
+
+def scc_labels(edges: DataFrame, max_doublings: int = 10) -> DataFrame:
+    """Strongly connected components of a DIRECTED graph →
+    (node, component), component = min node id mutually reachable
+    with the node (itself included — singletons label as themselves).
+
+    KG use: directed cycles in a constructed graph (subclass_of /
+    part_of loops, circular sameAs chains) are modeling errors that
+    undirected CC cannot see — it merges everything touching; SCC
+    isolates exactly the cyclic cores to quarantine.
+
+    Composition over the path-doubling ``transitive_closure``: a pair
+    is mutual iff (u, v) AND (v, u) are in the closure — one
+    self-join of the closure keyed by the (src, dst) pair — and the
+    label is one node-keyed min.  Scope: exact for the
+    vocabulary-scale graphs the closure kernel targets (ontologies,
+    host graphs, 10^3-10^6 nodes); closure row count is bounded by
+    reachability pairs, so corpus-scale sparse giants should use the
+    forward-backward trim algorithm instead (not implemented —
+    documented seam).  Cycles are fine for the doubling loop (the
+    closure of a cyclic graph is finite); ``max_doublings`` bounds
+    the DEPTH covered (2^r), not cycle membership.
+    """
+    tc = transitive_closure(
+        edges, max_doublings=max_doublings).localCheckpoint()
+    rev = tc.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    mutual = tc.join(rev, ["src", "dst"])
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    return (
+        nodes.join(
+            mutual.select(F.col("src").alias("node"),
+                          F.col("dst").alias("partner")),
+            "node", "left")
+        .groupBy("node")
+        .agg(F.least(F.col("node"),
+                     F.coalesce(F.min("partner"), F.col("node")))
+             .alias("component"))
+    )
+
+
+def sql_scc_labels(edges_sql: str) -> str:
+    """DuckDB twin of scc_labels (recursive-CTE closure + the same
+    mutual self-join and node-keyed min)."""
+    return f"""
+WITH RECURSIVE raw AS (
+  SELECT DISTINCT src, dst FROM ({edges_sql})
+), e AS (
+  SELECT src, dst FROM raw WHERE src <> dst
+), r AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, e.dst FROM r JOIN e ON e.src = r.dst
+  WHERE r.src <> e.dst
+), mutual AS (
+  SELECT a.src AS node, a.dst AS partner
+  FROM r a JOIN r b ON a.src = b.dst AND a.dst = b.src
+), nodes AS (
+  -- node set from the RAW edges: a node whose only edge is a
+  -- self-loop is still a (trivial) SCC; the Spark twin keeps it too
+  SELECT src AS node FROM raw UNION SELECT dst FROM raw
+)
+SELECT n.node,
+       least(n.node, coalesce(min(m.partner), n.node)) AS component
+FROM nodes n LEFT JOIN mutual m USING (node)
+GROUP BY n.node
+"""

@@ -71,3 +71,40 @@ def test_matches_duckdb_on_random_graph(spark):
         f"SELECT * FROM (VALUES {vals}) t(src, dst)", rounds=4)
     want = dict(con.sql(q).fetchall())
     assert got == want
+
+
+def test_scc_cycles_vs_dag_links(spark):
+    from gaia_spark.operators.graph import scc_labels
+    # two 3-cycles joined by ONE-WAY links + a DAG tail: SCCs must
+    # isolate the cycles; undirected CC would merge everything
+    edges = spark.createDataFrame(
+        [("a1", "a2"), ("a2", "a3"), ("a3", "a1"),     # cycle A
+         ("b1", "b2"), ("b2", "b3"), ("b3", "b1"),     # cycle B
+         ("a1", "b1"),                                  # one-way A->B
+         ("b2", "t1"), ("t1", "t2"),                    # DAG tail
+         ("s1", "s1")],                                 # self-loop only
+        "src string, dst string")
+    got = {r["node"]: r["component"]
+           for r in scc_labels(edges).collect()}
+    assert got["a1"] == got["a2"] == got["a3"] == "a1"
+    assert got["b1"] == got["b2"] == got["b3"] == "b1"
+    assert got["t1"] == "t1" and got["t2"] == "t2"      # singletons
+    assert got["s1"] == "s1"                            # self-loop node kept
+    assert len(got) == 9
+
+
+def test_scc_matches_duckdb(spark):
+    import duckdb
+    from gaia_spark.operators.graph import scc_labels, sql_scc_labels
+    # affine permutation mod 101 (prime): pure cycles + cross links
+    rows = ([(f"{v:03d}", f"{(v * 7 + 1) % 101:03d}") for v in range(101)]
+            + [(f"{v:03d}", f"{(v + 1) % 101:03d}")
+               for v in range(0, 101, 13)])
+    df = spark.createDataFrame(rows, "src string, dst string")
+    got = {r["node"]: r["component"] for r in scc_labels(df).collect()}
+    con = duckdb.connect()
+    vals = ", ".join(f"('{a}', '{b}')" for a, b in rows)
+    want = dict(con.sql(sql_scc_labels(
+        f"SELECT * FROM (VALUES {vals}) t(src, dst)")).fetchall())
+    assert got == want
+    assert len(set(got.values())) > 1     # multiple nontrivial SCCs

@@ -141,3 +141,31 @@ def test_manifests_record_stage_metrics(spark, pipeline_out):
     for name in results:
         m = cat.current_manifest(name)
         assert m["metrics"]["elapsed_sec"] > 0, name
+
+
+def test_vacuum_reclaims_killed_run_debris(spark, corpus_dir,
+                                            pipeline_out):
+    import os
+    out, _ = pipeline_out
+    cat = Catalog(out)
+    # simulate a killed run: a half-written staging dir plus a
+    # completed-but-never-pointer-swapped generation on a table a
+    # resume will skip forever
+    tdir = os.path.join(out, "triples")
+    os.makedirs(os.path.join(tdir, "_tmp_killed"), exist_ok=True)
+    os.makedirs(os.path.join(tdir, "data_orphan"), exist_ok=True)
+    open(os.path.join(tdir, "data_orphan", "part-0.parquet"),
+         "w").close()
+    before = cat.read(spark, "triples").count()
+    removed = cat.vacuum()
+    assert sorted(removed["triples"]) == ["_tmp_killed", "data_orphan"]
+    assert not os.path.exists(os.path.join(tdir, "_tmp_killed"))
+    assert not os.path.exists(os.path.join(tdir, "data_orphan"))
+    # the _CURRENT generation and its data are untouched
+    assert cat.read(spark, "triples").count() == before > 0
+    # idempotent
+    assert cat.vacuum() == {}
+    # and a fresh resume over the vacuumed store still skips stages
+    from gaia_spark.plans.pipeline import run_pipeline
+    res = run_pipeline(spark, corpus_dir, out, run_id="t_vac")
+    assert all(m["skipped"] for m in res.values())
