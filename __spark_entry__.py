@@ -1663,6 +1663,18 @@ def text_decontaminate(spark, sf_dir):
     return dc.contamination_stats(corpus, ev)
 
 
+def graph_clustering(spark, sf_dir):
+    """Per-node local clustering coefficients over the co-purchase
+    graph (exact x10k integers): separates clique-like neighborhoods
+    (templated site clusters, merge balls) from hub-and-spoke ones
+    the degree histogram can't.  Degree-ordered orientation keeps
+    out-neighborhoods O(sqrt m) on hubs; triangles explode 3 rows per
+    TRIANGLE into one node-keyed count — see
+    operators/graph.py:clustering_coefficients."""
+    from gaia_spark.operators.graph import clustering_coefficients
+    return clustering_coefficients(_copurchase_edges(spark, sf_dir))
+
+
 #: SCC input synthesis: the affine map v -> 7v+1 (mod 509, prime) is
 #: a PERMUTATION, so its functional graph is a disjoint union of pure
 #: cycles (every node sits in a nontrivial SCC); sparse one-way cross
@@ -1854,7 +1866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry, ORDER MATTERS: the driver's correctness artifact
     records only the FIRST 50 entries in dict order (observed
     empirically: CORRECTNESS_r01/r02 each captured exactly registry
-    positions 1-50).  The registry now has 100 entries (91 with exact
+    positions 1-50).  The registry now has 101 entries (92 with exact
     DuckDB twins in oracle_sql()), so the prefix is ROTATED per round
     to maximize cumulative driver evidence:
 
@@ -1874,7 +1886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       whose strongest oracle lives in pytest (COVERAGE.md per-row).
     * After r3 every entry has >=1 driver-recorded row across rounds;
       `python tools/selfcheck.py /root/testdata/sf0.01` replays the
-      driver's exact compare over ALL 100 entries in one command.
+      driver's exact compare over ALL 101 entries in one command.
     """
     return {
         # --- driver window (first 50) ----------------------------
@@ -1969,6 +1981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_crawl_budget": web_crawl_budget,
         "web_shards": web_shards,
         "graph_scc": graph_scc,
+        "graph_clustering": graph_clustering,
         # oracled, driver-green in BOTH r1 and r2 (rotated out this
         # round; selfcheck.py still verifies them every run)
         "rel_distinct": rel_distinct,
@@ -2792,6 +2805,9 @@ def oracle_sql() -> dict[str, str]:
         f"FROM (SELECT DISTINCT lower(regexp_extract("
         f"{_web.sql_synth_url()}, '^[a-z]+://([^/?#]+)', 1)) AS host "
         f"FROM documents))")
+    from gaia_spark.operators.graph import sql_clustering_coefficients
+    sql["graph_clustering"] = sql_clustering_coefficients(
+        _SQL_COPURCHASE)
     from gaia_spark.operators.graph import sql_scc_labels
     sql["graph_scc"] = sql_scc_labels(_SQL_SCC_EDGES)
     sql["web_crawl_budget"] = _web.sql_crawl_budget(

@@ -778,3 +778,97 @@ SELECT n.node,
 FROM nodes n LEFT JOIN mutual m USING (node)
 GROUP BY n.node
 """
+
+
+def clustering_coefficients(edges: DataFrame) -> DataFrame:
+    """Per-node local clustering coefficient of the undirected simple
+    graph → (node, degree, triangles, coef_x10k), coef_x10k =
+    ⌊10^4 · 2·tri / (deg·(deg−1))⌋, 0 for degree < 2.
+
+    The per-node refinement of ``triangle_count``'s global census:
+    local coefficients separate clique-like neighborhoods (templated
+    site clusters, linker-inflated merge balls → coef ≈ 1) from
+    hub-and-spoke ones (genuine portals → coef ≈ 0) where the degree
+    histogram alone cannot.
+
+    Scale shape: the same degree-ordered orientation as
+    ``triangle_count`` (out-neighborhoods O(√m), hub-safe) builds
+    each triangle once as a closed wedge; the triple then explodes to
+    its 3 members — 3 rows per TRIANGLE, never per wedge — into one
+    node-keyed map-side-combined count, re-attached to the degree
+    table by a node-keyed join.  Exact x10k integer output, no
+    floats anywhere.
+    """
+    und = _undirected(edges).localCheckpoint()  # 3 consumers
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    ranked = (
+        und.join(deg.select(F.col("node").alias("a"),
+                            F.col("degree").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"),
+                         F.col("degree").alias("db")), "b")
+    )
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    oriented = ranked.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    ).localCheckpoint()
+    w1 = oriented.select(F.col("u"), F.col("v").alias("v1"))
+    w2 = oriented.select(F.col("u"), F.col("v").alias("v2"))
+    wedges = w1.join(w2, "u").filter(F.col("v1") < F.col("v2"))
+    closed = wedges.join(
+        und,
+        (F.least("v1", "v2") == F.col("a"))
+        & (F.greatest("v1", "v2") == F.col("b")))
+    tri = (
+        closed.select(F.explode(F.array("u", "v1", "v2")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            "node", "degree",
+            F.coalesce("triangles", F.lit(0)).cast("bigint")
+            .alias("triangles"),
+            F.when(F.col("degree") >= 2,
+                   F.expr("CAST(20000 AS BIGINT) * "
+                          "coalesce(triangles, 0) DIV "
+                          "(degree * (degree - 1))"))
+            .otherwise(F.lit(0)).cast("bigint").alias("coef_x10k"))
+    )
+
+
+def sql_clustering_coefficients(edges_sql: str) -> str:
+    """DuckDB twin: value-ordered triple join builds each triangle
+    once; same x10k integer floor."""
+    return f"""
+WITH und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM ({edges_sql}) WHERE src <> dst
+), deg AS (
+  SELECT node, count(*)::BIGINT AS degree FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY node
+), tri3 AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+), tri AS (
+  SELECT node, count(*)::BIGINT AS triangles
+  FROM (SELECT unnest([x, y, z]) AS node FROM tri3)
+  GROUP BY node
+)
+SELECT d.node, d.degree,
+       coalesce(t.triangles, 0)::BIGINT AS triangles,
+       CASE WHEN d.degree >= 2 THEN
+         20000::BIGINT * coalesce(t.triangles, 0)
+           // (d.degree * (d.degree - 1))
+       ELSE 0 END::BIGINT AS coef_x10k
+FROM deg d LEFT JOIN tri t ON d.node = t.node
+"""

@@ -108,3 +108,40 @@ def test_scc_matches_duckdb(spark):
         f"SELECT * FROM (VALUES {vals}) t(src, dst)")).fetchall())
     assert got == want
     assert len(set(got.values())) > 1     # multiple nontrivial SCCs
+
+
+def test_clustering_coefficients_exact(spark):
+    from gaia_spark.operators.graph import clustering_coefficients
+    # K4 (every node coef = 1) + a path pendant (t: deg 1 -> 0;
+    # a4 gains a non-closing neighbor)
+    k4 = [("a1", "a2"), ("a1", "a3"), ("a1", "a4"),
+          ("a2", "a3"), ("a2", "a4"), ("a3", "a4")]
+    edges = spark.createDataFrame(k4 + [("a4", "t")],
+                                  "src string, dst string")
+    got = {r["node"]: (r["degree"], r["triangles"], r["coef_x10k"])
+           for r in clustering_coefficients(edges).collect()}
+    for n in ["a1", "a2", "a3"]:
+        assert got[n] == (3, 3, 10000)      # 2*3/(3*2) = 1
+    assert got["a4"] == (4, 3, 5000)        # 2*3/(4*3) = 0.5
+    assert got["t"] == (1, 0, 0)            # degree < 2
+
+
+def test_clustering_matches_duckdb(spark):
+    import duckdb
+    from gaia_spark.operators.graph import (
+        clustering_coefficients, sql_clustering_coefficients)
+    pairs = sorted({(f"{(i * 5) % 29:02d}", f"{(i * 9 + 2) % 29:02d}")
+                    for i in range(90)}
+                   # K5 on 00..04 guarantees triangle-rich nodes
+                   | {(f"{i:02d}", f"{j:02d}")
+                      for i in range(5) for j in range(i + 1, 5)})
+    pairs = [p for p in pairs if p[0] != p[1]]
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    got = {r["node"]: tuple(r)[1:]
+           for r in clustering_coefficients(df).collect()}
+    con = duckdb.connect()
+    vals = ", ".join(f"('{a}', '{b}')" for a, b in pairs)
+    want = {r[0]: r[1:] for r in con.sql(sql_clustering_coefficients(
+        f"SELECT * FROM (VALUES {vals}) t(src, dst)")).fetchall()}
+    assert got == want
+    assert any(t for _, t, _ in got.values())   # triangles exist
