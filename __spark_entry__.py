@@ -1663,6 +1663,23 @@ def text_decontaminate(spark, sf_dir):
     return dc.contamination_stats(corpus, ev)
 
 
+#: personalization seeds for graph_ppr — nodes 000/001/002 exist at
+#: every sf (the affine graph covers all residues mod 509)
+_PPR_SEEDS = ["000", "001", "002"]
+
+
+def graph_ppr(spark, sf_dir):
+    """Personalized PageRank (restart mass only to the seed set) over
+    the directed affine graph: proximity-to-seeds relevance for
+    entity-centric candidate expansion, vs plain PageRank's global
+    importance.  Same BIGINT ppm fixed-point contract; one contribs
+    shuffle + node-keyed join per iteration — see
+    operators/graph.py:personalized_pagerank."""
+    from gaia_spark.operators.graph import personalized_pagerank
+    return personalized_pagerank(_scc_edges(spark, sf_dir),
+                                 _PPR_SEEDS, iters=3)
+
+
 def graph_clustering(spark, sf_dir):
     """Per-node local clustering coefficients over the co-purchase
     graph (exact x10k integers): separates clique-like neighborhoods
@@ -1866,7 +1883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry, ORDER MATTERS: the driver's correctness artifact
     records only the FIRST 50 entries in dict order (observed
     empirically: CORRECTNESS_r01/r02 each captured exactly registry
-    positions 1-50).  The registry now has 101 entries (92 with exact
+    positions 1-50).  The registry now has 102 entries (93 with exact
     DuckDB twins in oracle_sql()), so the prefix is ROTATED per round
     to maximize cumulative driver evidence:
 
@@ -1886,7 +1903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       whose strongest oracle lives in pytest (COVERAGE.md per-row).
     * After r3 every entry has >=1 driver-recorded row across rounds;
       `python tools/selfcheck.py /root/testdata/sf0.01` replays the
-      driver's exact compare over ALL 101 entries in one command.
+      driver's exact compare over ALL 102 entries in one command.
     """
     return {
         # --- driver window (first 50) ----------------------------
@@ -1982,6 +1999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_shards": web_shards,
         "graph_scc": graph_scc,
         "graph_clustering": graph_clustering,
+        "graph_ppr": graph_ppr,
         # oracled, driver-green in BOTH r1 and r2 (rotated out this
         # round; selfcheck.py still verifies them every run)
         "rel_distinct": rel_distinct,
@@ -2805,6 +2823,9 @@ def oracle_sql() -> dict[str, str]:
         f"FROM (SELECT DISTINCT lower(regexp_extract("
         f"{_web.sql_synth_url()}, '^[a-z]+://([^/?#]+)', 1)) AS host "
         f"FROM documents))")
+    from gaia_spark.operators.graph import sql_personalized_pagerank
+    sql["graph_ppr"] = sql_personalized_pagerank(
+        _SQL_SCC_EDGES, _PPR_SEEDS, iters=3)
     from gaia_spark.operators.graph import sql_clustering_coefficients
     sql["graph_clustering"] = sql_clustering_coefficients(
         _SQL_COPURCHASE)

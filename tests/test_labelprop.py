@@ -145,3 +145,45 @@ def test_clustering_matches_duckdb(spark):
         f"SELECT * FROM (VALUES {vals}) t(src, dst)")).fetchall()}
     assert got == want
     assert any(t for _, t, _ in got.values())   # triangles exist
+
+
+def test_personalized_pagerank_locality(spark):
+    from gaia_spark.operators.graph import (PPM, personalized_pagerank)
+    # a -> b -> c -> d chain + far component x -> y: mass stays near a
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")],
+        "src string, dst string")
+    got = {r["node"]: r["rank_ppm"]
+           for r in personalized_pagerank(edges, ["a"], iters=3).collect()}
+    # seed keeps the restart base every round; non-seed far component
+    # never receives anything
+    assert got["a"] == PPM - PPM * 85 // 100
+    assert got["x"] == 0 and got["y"] == 0
+    # exact hand-computed transient (3 power steps push the initial
+    # seed pulse to d; steady-state decay needs iters >> diameter):
+    # b = 0.85·base, c = 0.85·b, d = 0.85²·(0.85·PPM)
+    assert got["b"] == 127500
+    assert got["c"] == 108375
+    assert got["d"] == 614125
+    # and differs from PLAIN pagerank, where x/y earn the base too
+    from gaia_spark.operators.graph import pagerank
+    plain = {r["node"]: r["rank_ppm"]
+             for r in pagerank(edges, iters=3).collect()}
+    assert plain["x"] > 0 and plain["y"] > 0
+
+
+def test_personalized_pagerank_matches_duckdb(spark):
+    import duckdb
+    from gaia_spark.operators.graph import (
+        personalized_pagerank, sql_personalized_pagerank)
+    rows = [(f"{v:02d}", f"{(v * 3 + 1) % 37:02d}") for v in range(37)]
+    df = spark.createDataFrame(rows, "src string, dst string")
+    got = {r["node"]: r["rank_ppm"]
+           for r in personalized_pagerank(df, ["00", "05"],
+                                          iters=4).collect()}
+    con = duckdb.connect()
+    vals = ", ".join(f"('{a}', '{b}')" for a, b in rows)
+    want = dict(con.sql(sql_personalized_pagerank(
+        f"SELECT * FROM (VALUES {vals}) t(src, dst)",
+        ["00", "05"], iters=4)).fetchall())
+    assert got == want
