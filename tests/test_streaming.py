@@ -110,3 +110,25 @@ def test_windowed_page_counts_watermark(spark, tmp_path):
     # = 12:30, so the [30,40) window is still OPEN and must NOT emit —
     # append mode only releases windows the watermark has closed.
     assert got == {(0, 2), (10, 1), (20, 2)}
+
+
+def test_streaming_windows_driver_query_matches_batch(spark):
+    # the driver query's stream result must equal the same aggregate
+    # computed in plain batch over the same synthetic event times
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+    sf_dir = "/root/testdata/sf0.001"
+    got = {tuple(map(str, r))
+           for r in entry.streaming_windows(spark, sf_dir).collect()}
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "lang")
+            .withColumn("warc_ts",
+                        F.expr("timestamp'2026-01-01 00:00:00' + "
+                               "make_interval(0,0,0,0,0, doc_id % 300, 0)")))
+    want = {tuple(map(str, r)) for r in (
+        docs.groupBy(F.window("warc_ts", "10 minutes").alias("win"), "lang")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .select(F.col("win.start").alias("win_start"),
+                F.col("win.end").alias("win_end"), "lang", "n_pages")
+    ).collect()}
+    assert got == want and len(got) > 0
