@@ -132,3 +132,42 @@ def test_streaming_windows_driver_query_matches_batch(spark):
                 F.col("win.end").alias("win_end"), "lang", "n_pages")
     ).collect()}
     assert got == want and len(got) > 0
+
+
+def test_streaming_sessions_gap_boundary_semantics(spark):
+    # Empirical boundary contract: a gap of EXACTLY the timeout still
+    # MERGES into one session (so the SQL twin splits on gap >
+    # timeout); this test pins that so a Spark version change that
+    # flips the boundary breaks loudly.
+    import tempfile
+    import pandas as pd
+    from pyspark.sql import functions as F
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    gap = pd.Timedelta(minutes=30)
+    us = pd.Timedelta(microseconds=1)
+    rows = [
+        ("u_eq", 1, base.to_pydatetime()),
+        ("u_eq", 2, (base + gap).to_pydatetime()),         # exact gap
+        ("u_lt", 3, base.to_pydatetime()),
+        ("u_lt", 4, (base + gap - us).to_pydatetime()),    # gap - 1us
+    ]
+    src_dir = tempfile.mkdtemp(prefix="gaia_sess_src_")
+    spark.createDataFrame(
+        rows, "user_id string, event_id long, ts timestamp"
+    ).write.mode("overwrite").parquet(src_dir)
+    st = (spark.readStream
+          .schema("user_id string, event_id long, ts timestamp")
+          .parquet(src_dir)
+          .withWatermark("ts", "1 hour")
+          .groupBy(F.session_window(F.col("ts"), "30 minutes"),
+                   F.col("user_id"))
+          .agg(F.count(F.lit(1)).alias("n")))
+    ckpt = tempfile.mkdtemp(prefix="gaia_sess_ck_")
+    q = (st.select("user_id", "n").writeStream.format("memory")
+         .queryName("sess_boundary_out")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).outputMode("complete").start())
+    q.awaitTermination()
+    got = sorted((r["user_id"], r["n"])
+                 for r in spark.table("sess_boundary_out").collect())
+    assert got == [("u_eq", 2), ("u_lt", 2)]
