@@ -1650,16 +1650,18 @@ def streaming_windows(spark, sf_dir):
 
 def streaming_sessions(spark, sf_dir):
     """Native session_window streaming sessionization, driver-ORACLED:
-    per-user gap-based sessions (30-min inactivity) computed by
-    Spark's built-in session window over an availableNow stream of
-    the events table.  Cross-engine boundary pinned empirically
-    (tests/test_streaming.py): a gap of EXACTLY the timeout still
-    MERGES in Spark's session_window, so the lag/cumsum SQL twin
-    splits on gap > timeout — the same boundary as the batch
-    rel_sessionize formulation.
+    per-user gap-based sessions (30-min inactivity) computed by the
+    library operator gaia_spark.streaming.session_stats over an
+    availableNow stream of the events table.  Cross-engine boundary
+    pinned empirically (tests/test_streaming.py): a gap of EXACTLY
+    the timeout still MERGES in Spark's session_window, so the
+    lag/cumsum SQL twin splits on gap > timeout — the same boundary
+    as the batch rel_sessionize formulation.
     Output keys on (user_id, session start) with min/max-ts duration
     so no engine-specific window-end padding is compared."""
     import tempfile
+
+    from gaia_spark.streaming import session_stats
 
     ev = _t(spark, sf_dir, "events")
     src = (spark.readStream.schema(ev.schema)
@@ -1669,19 +1671,7 @@ def streaming_sessions(spark, sf_dir):
            # require TIMESTAMP — the UTC session makes the cast a
            # wall-clock no-op, so the DuckDB (naive) twin agrees
            .withColumn("ts", F.col("ts").cast("timestamp")))
-    out = (
-        src.withWatermark("ts", "1 hour")
-        .groupBy(F.session_window(F.col("ts"), "30 minutes"),
-                 F.col("user_id"))
-        .agg(F.count(F.lit(1)).alias("n_events"),
-             F.min("event_id").alias("first_event"),
-             (F.unix_micros(F.max(F.col("ts").cast("timestamp")))
-              - F.unix_micros(F.min(F.col("ts").cast("timestamp"))))
-             .alias("duration_us"),
-             F.min(F.col("ts").cast("timestamp")).alias("sess_start"))
-        .select("user_id", "sess_start", "n_events", "first_event",
-                "duration_us")
-    )
+    out = session_stats(src, gap="30 minutes", watermark="1 hour")
     ckpt = tempfile.mkdtemp(prefix="gaia_stream_sess_")
     q = (out.writeStream.format("memory")
          .queryName("streaming_sessions_out")

@@ -339,7 +339,7 @@ class Catalog:
                    "out_rows long, created string",
         )
 
-    def vacuum(self) -> dict[str, list[str]]:
+    def vacuum(self, grace_seconds: float = 3600.0) -> dict[str, list[str]]:
         """Remove killed-run debris across all tables: ``_tmp_*``
         staging dirs and ``data_*`` generations not referenced by
         _CURRENT.
@@ -355,10 +355,19 @@ class Catalog:
         _CURRENT pointer are skipped entirely (never guess what a
         broken table should keep).
 
+        An in-flight writer in ANOTHER process is indistinguishable
+        from killed-run debris by name alone, so dirs modified within
+        ``grace_seconds`` (default 1 h) are left untouched — a live
+        ``_tmp_*`` stage is always younger than that, while genuinely
+        orphaned debris ages past it.  ``grace_seconds=0`` restores
+        the single-process everything-goes behavior for tests.
+
         → {table: [removed dir names]}, for the operator's log.
         """
         import shutil
+        import time
 
+        now = time.time()
         removed: dict[str, list[str]] = {}
         for name in sorted(os.listdir(self.root)):
             tdir = self._tdir(name)
@@ -372,6 +381,13 @@ class Catalog:
                 if d == cur:
                     continue
                 if d.startswith("_tmp_") or d.startswith("data_"):
-                    shutil.rmtree(os.path.join(tdir, d))
+                    path = os.path.join(tdir, d)
+                    try:
+                        age = now - os.path.getmtime(path)
+                    except OSError:
+                        continue  # racing removal — nothing to do
+                    if age < grace_seconds:
+                        continue
+                    shutil.rmtree(path)
                     removed.setdefault(name, []).append(d)
         return removed

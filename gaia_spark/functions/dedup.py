@@ -183,13 +183,34 @@ def minhash_signature(postings: DataFrame,
     )
 
 
+#: band buckets larger than this switch from all-pairs expansion to
+#: star edges (min id ↔ member).  256 distinct-signature docs agreeing
+#: on one band is already a pathological boilerplate cluster; the cap
+#: bounds the per-bucket join output at O(bucket) instead of
+#: O(bucket²) — the d²-rows-per-band scale killer on duplicate-heavy
+#: web corpora.
+MAX_BAND_BUCKET = 256
+
+
 def lsh_candidates(sig: DataFrame, bands: int = BANDS,
-                   rows_per_band: int = ROWS_PER_BAND) -> DataFrame:
+                   rows_per_band: int = ROWS_PER_BAND,
+                   max_bucket: int = MAX_BAND_BUCKET) -> DataFrame:
     """Band the signatures and self-join on (band_id, band_hash).
 
     → distinct (a_id, b_id) candidate pairs.  Shuffle key is the band
-    hash: uniform by construction, so no skew handling needed here.
+    hash: uniform by construction for distinct signatures — but d docs
+    sharing one band hash still build d²/2 join rows, so buckets above
+    ``max_bucket`` emit STAR edges (bucket-min ↔ member, linear)
+    instead of all pairs.  Star candidates keep cluster RESOLUTION
+    exact up to verification transitivity (CC closes the star;
+    callers that need the exhaustive pair list of a mega-cluster get
+    it from the exact-dup fan-out in ``minhash_dedup_pairs``, never
+    from the band join).  Bucket sizing is one window count over the
+    join key itself — no extra shuffle.  ``max_bucket=None`` disables
+    the guard (exhaustive candidates at any cost).
     """
+    from pyspark.sql.window import Window
+
     banded = sig.select(
         "doc_id",
         F.posexplode(
@@ -205,16 +226,35 @@ def lsh_candidates(sig: DataFrame, bands: int = BANDS,
             )
         ).alias("band_id", "band_hash"),
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
+    if max_bucket is None:
+        small, star = banded, None
+    else:
+        w = Window.partitionBy("band_id", "band_hash")
+        sized = banded.withColumn(
+            "n", F.count(F.lit(1)).over(w)
+        ).withColumn(
+            "bucket_min", F.min("doc_id").over(w)
+        ).localCheckpoint()
+        small = sized.filter(F.col("n") <= max_bucket).drop(
+            "n", "bucket_min")
+        star = (
+            sized.filter((F.col("n") > max_bucket)
+                         & (F.col("doc_id") != F.col("bucket_min")))
+            .select(F.col("bucket_min").alias("a_id"),
+                    F.col("doc_id").alias("b_id"))
+        )
+    a, b = small.alias("a"), small.alias("b")
+    pairs = (
         a.join(b, ["band_id", "band_hash"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("a_id"),
             F.col("b.doc_id").alias("b_id"),
         )
-        .distinct()
     )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
 
 
 def jaccard_for_pairs(postings: DataFrame, pairs: DataFrame,

@@ -603,7 +603,9 @@ def synth_robots(host: Column) -> Column:
     allow-beats-disallow tie rule."""
     b = (F.conv(F.substring(F.md5(host), 1, 8), 16, 10)
          .cast("bigint") % 10)
-    sec = (b % 11).cast("string")
+    # b is already in [0, 10): the section is b itself.  sec2 wraps
+    # mod 11 so the second Disallow can land on sections 0/1 too.
+    sec = b.cast("string")
     sec2 = ((b + 3) % 11).cast("string")
     return F.concat(
         F.lit("User-agent: *\n"),
@@ -619,8 +621,8 @@ def sql_synth_robots(host: str) -> str:
     b = f"(('0x' || substr(md5({host}), 1, 8))::BIGINT % 10)"
     return (
         f"'User-agent: *' || chr(10)"
-        f" || 'Disallow: /p/' || ({b} % 11)::VARCHAR || chr(10)"
-        f" || 'Allow: /p/' || ({b} % 11)::VARCHAR || '/item-' || chr(10)"
+        f" || 'Disallow: /p/' || {b}::VARCHAR || chr(10)"
+        f" || 'Allow: /p/' || {b}::VARCHAR || '/item-' || chr(10)"
         f" || CASE WHEN {b} % 2 = 0 THEN"
         f"      'Disallow: /p/' || (({b} + 3) % 11)::VARCHAR || chr(10)"
         f"    ELSE '' END")

@@ -15,6 +15,8 @@ Beyond the lift, two operators a continuously-crawled corpus needs:
   suppressed, surviving restarts through the query checkpoint.
 - ``windowed_page_counts`` — event-time windowed counts with a
   watermark, the late-data-tolerant monitoring aggregate.
+- ``session_stats`` — gap-based sessionization via Spark's native
+  ``session_window``, the per-user activity rollup.
 """
 
 from __future__ import annotations
@@ -118,4 +120,42 @@ def windowed_page_counts(
         .select(F.col("win.start").alias("win_start"),
                 F.col("win.end").alias("win_end"),
                 "lang", "n_pages")
+    )
+
+
+def session_stats(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Native ``session_window`` gap-based sessionization.
+
+    → (user_id, sess_start, n_events, first_event, duration_us) per
+    (user, session): sessions split when the inactivity gap EXCEEDS
+    ``gap`` (a gap of exactly the timeout still merges — the boundary
+    tests/test_streaming.py pins cross-engine, matching the batch
+    lag/cumsum formulation).  Keys on (user, min event time) and a
+    min/max-ts duration so no engine-specific window-end padding
+    leaks into the output.
+
+    Works on a streaming OR batch DataFrame (session_window is a
+    grouping expression); on a stream the watermark bounds session
+    state so open sessions close once event time passes
+    max(event_time) − watermark.
+    """
+    ts = F.col(ts_col).cast("timestamp")
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap),
+                 F.col(user_col))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.min(id_col).alias("first_event"),
+             (F.unix_micros(F.max(ts)) - F.unix_micros(F.min(ts)))
+             .alias("duration_us"),
+             F.min(ts).alias("sess_start"))
+        .select(user_col, "sess_start", "n_events", "first_event",
+                "duration_us")
     )

@@ -157,14 +157,16 @@ def test_vacuum_reclaims_killed_run_debris(spark, corpus_dir,
     open(os.path.join(tdir, "data_orphan", "part-0.parquet"),
          "w").close()
     before = cat.read(spark, "triples").count()
-    removed = cat.vacuum()
+    # fresh debris is protected by the concurrent-writer grace period
+    assert cat.vacuum() == {}
+    removed = cat.vacuum(grace_seconds=0)
     assert sorted(removed["triples"]) == ["_tmp_killed", "data_orphan"]
     assert not os.path.exists(os.path.join(tdir, "_tmp_killed"))
     assert not os.path.exists(os.path.join(tdir, "data_orphan"))
     # the _CURRENT generation and its data are untouched
     assert cat.read(spark, "triples").count() == before > 0
     # idempotent
-    assert cat.vacuum() == {}
+    assert cat.vacuum(grace_seconds=0) == {}
     # and a fresh resume over the vacuumed store still skips stages
     from gaia_spark.plans.pipeline import run_pipeline
     res = run_pipeline(spark, corpus_dir, out, run_id="t_vac")
