@@ -299,9 +299,52 @@ def jaccard_for_pairs(postings: DataFrame, pairs: DataFrame,
     )
 
 
+def _exact_collapsed(df: DataFrame, text_col: str, id_col: str,
+                     min_x10k: int):
+    """Exact-fingerprint precollapse shared by the LSH callers.
+
+    → (members, rep_pairs):
+
+    * ``members`` = (member, rep) for every doc whose normalized text
+      has ≥1 token, where rep = min doc id among docs with the SAME
+      content fingerprint (identical normalized text ⇒ identical
+      token set, since both derive from lower + whitespace split).
+    * ``rep_pairs`` = exact-Jaccard-verified near-dup pairs over ONE
+      representative per distinct fingerprint.
+
+    Why: a Common-Crawl-style corpus is 30-50% exact duplicates with
+    mega-clusters; 10^7 copies of one boilerplate page would collide
+    in ALL 32 bands and build ~10^15 band-join rows.  Collapsing to
+    distinct fingerprints BEFORE signing means the band join never
+    sees a duplicate signature from exact duplication at all — the
+    d²-per-bucket risk is left only for distinct-text collisions,
+    which `lsh_candidates`' star-edge cap bounds.  Tokenless docs
+    (empty after normalization) have no Jaccard value and are
+    excluded, matching the exhaustive oracle which emits no postings
+    for them.
+    """
+    fp = df.select(
+        F.col(id_col).alias("member"),
+        fingerprint_col(F.col(text_col)).alias("fp"),
+    )
+    reps = fp.groupBy("fp").agg(F.min("member").alias("rep"))
+    members = fp.join(reps, "fp").select("member", "rep")
+    rep_docs = df.join(
+        members.filter(F.col("member") == F.col("rep"))
+        .select(F.col("member").alias(id_col)),
+        id_col, "left_semi",
+    )
+    postings = token_set(rep_docs, text_col, id_col)
+    rep_pairs = jaccard_for_pairs(
+        postings, lsh_candidates(minhash_signature(postings)), min_x10k)
+    tokenful = postings.select(F.col("doc_id").alias("rep")).distinct()
+    return members.join(tokenful, "rep"), rep_pairs
+
+
 def minhash_dedup_pairs(df: DataFrame, min_x10k: int,
                         text_col: str = "text",
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        precollapse: bool = True) -> DataFrame:
     """LSH-blocked near-dup pairs, exact-Jaccard verified.
 
     Equals the exhaustive `jaccard_pairs` answer w.p. ≈ 1 - 6e-11 per
@@ -313,10 +356,45 @@ def minhash_dedup_pairs(df: DataFrame, min_x10k: int,
     self-join: the latter still posts every stop token of every
     candidate doc, and one common token across c candidate docs builds
     c²/2 join rows.
+
+    With ``precollapse`` (the default), exact duplicates are collapsed
+    to one representative per content fingerprint before signing — the
+    band join is over distinct texts only — and the answer is fanned
+    back out afterwards: intra-fingerprint pairs carry J=1.0 exactly,
+    cross-fingerprint pairs inherit the rep pair's J (identical token
+    sets).  The fan-out is output-bound (you cannot emit fewer rows
+    than the answer), so the quadratic cost moves from the shuffle to
+    the result itself; resolution callers that don't need the pair
+    list use `dedup_resolution`, which skips the fan-out entirely.
     """
-    postings = token_set(df, text_col, id_col)
-    cand = lsh_candidates(minhash_signature(postings))
-    return jaccard_for_pairs(postings, cand, min_x10k)
+    if not precollapse:
+        postings = token_set(df, text_col, id_col)
+        cand = lsh_candidates(minhash_signature(postings))
+        return jaccard_for_pairs(postings, cand, min_x10k)
+    members, rep_pairs = _exact_collapsed(df, text_col, id_col, min_x10k)
+    ma, mb = members.alias("ma"), members.alias("mb")
+    cross = (
+        rep_pairs
+        .join(ma, F.col("ma.rep") == F.col("a_id"))
+        .join(mb, F.col("mb.rep") == F.col("b_id"))
+        .select(
+            F.least("ma.member", "mb.member").alias("a_id"),
+            F.greatest("ma.member", "mb.member").alias("b_id"),
+            "jac_x10k",
+        )
+    )
+    if min_x10k > SCALE:
+        return cross
+    intra = (
+        ma.join(mb, F.col("ma.rep") == F.col("mb.rep"))
+        .filter(F.col("ma.member") < F.col("mb.member"))
+        .select(
+            F.col("ma.member").alias("a_id"),
+            F.col("mb.member").alias("b_id"),
+            F.lit(SCALE).cast("bigint").alias("jac_x10k"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 def dedup_resolution(df: DataFrame, min_x10k: int,
@@ -333,20 +411,30 @@ def dedup_resolution(df: DataFrame, min_x10k: int,
     `df.join(resolution.filter("keep"), id_col, "left_semi")` IS the
     deduplicated corpus.
 
-    Scale shape: pair building is the LSH-blocked path (O(n·bands)
-    shuffle, never all-pairs); CC runs over near-dup *pairs only* — a
-    graph orders of magnitude smaller than the corpus; singletons
-    re-attach with a left join that AQE sizes itself (broadcast when
-    the clustered set is small, shuffle join when it is not — no
-    forced broadcast, unlike the NIL-cluster path where the cluster
-    map is provably vocabulary-sized).
+    Scale shape: exact duplicates are precollapsed to one rep per
+    content fingerprint (`_exact_collapsed`) and enter the component
+    graph as STAR edges (rep ↔ member, linear in cluster size, never
+    the clique) — CC closes the transitivity, so a 10^7-copy
+    boilerplate cluster contributes 10^7-1 edges, not 10^13.5 pairs.
+    Near-dup pair building runs over distinct texts only (the
+    LSH-blocked path, O(distinct·bands) shuffle); CC runs over rep
+    pairs + star edges — a graph orders of magnitude smaller than the
+    corpus; singletons re-attach with a left join that AQE sizes
+    itself (broadcast when the clustered set is small, shuffle join
+    when it is not — no forced broadcast, unlike the NIL-cluster path
+    where the cluster map is provably vocabulary-sized).
     """
     from gaia_spark.operators.graph import connected_components
 
-    pairs = minhash_dedup_pairs(df, min_x10k, text_col, id_col)
+    members, rep_pairs = _exact_collapsed(df, text_col, id_col, min_x10k)
+    star = (
+        members.filter(F.col("member") != F.col("rep"))
+        .select(F.col("rep").alias("src"), F.col("member").alias("dst"))
+    )
     comps = connected_components(
-        pairs.select(F.col("a_id").alias("src"),
-                     F.col("b_id").alias("dst")))
+        rep_pairs.select(F.col("a_id").alias("src"),
+                         F.col("b_id").alias("dst"))
+        .unionByName(star))
     return (
         df.select(F.col(id_col))
         .join(comps.select(F.col("node").alias(id_col),

@@ -418,6 +418,13 @@ def ann_topk_ivf(
     )
 
 
+#: band buckets above this emit star candidates (bucket-min ↔ member)
+#: instead of all pairs — same guard as dedup.MAX_BAND_BUCKET.  Higher
+#: default than minhash's: hyperplane bands carry only num_planes/bands
+#: bits, so legitimate buckets are coarser than 128-perm minhash bands.
+MAX_EMB_BAND_BUCKET = 4096
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     min_x10k: int,
@@ -425,6 +432,7 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     num_planes: int = 16,
     bands: int = 4,
+    max_bucket: int | None = MAX_EMB_BAND_BUCKET,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a<b, floor(1e4·cos)≥min).
 
@@ -435,6 +443,17 @@ def embedding_dup_pairs(
     with 4 bands of 4 planes: 1-(1-(1-θ/π)^4)^4, e.g. ≈0.93 at c=0.92 —
     approximate, since the planes are sums of uniform draws, not exact
     Gaussians (see _plane_component).  → (a_id, b_id, sim_x10k)
+
+    Scale shape: the band self-join carries IDS ONLY — embeddings are
+    re-attached per verified candidate pair AFTER `dropDuplicates`, so
+    the d²-row band intermediate is 3 longs per row, never 2×dim
+    doubles (at dim=768 that is ~400× less shuffle per candidate).
+    Buckets above ``max_bucket`` emit star candidates (bucket-min ↔
+    member, linear) instead of all pairs — a duplicate-heavy corpus
+    concentrates near-identical vectors into one bucket per band;
+    star pairs still go through exact-cosine verification, and
+    downstream CC resolution closes the transitivity exactly as in
+    `dedup.lsh_candidates`.  ``max_bucket=None`` disables the guard.
     """
     r = num_planes // bands
     hashed = df.select(
@@ -442,8 +461,9 @@ def embedding_dup_pairs(
         _as_double(df, vec_col).alias("v"),
         lsh_bucket_col(F.col(vec_col), num_planes).alias("bucket"),
     )
+    vecs = hashed.select("id", "v")
     base = hashed.select(
-        "id", "v",
+        "id",
         F.posexplode(
             F.array(*[
                 F.shiftright(F.col("bucket"), k * r)
@@ -452,14 +472,35 @@ def embedding_dup_pairs(
             ])
         ).alias("band_id", "band_val"),
     )
-    a, b = base.alias("a"), base.alias("b")
-    return (
+    if max_bucket is None:
+        small, star = base, None
+    else:
+        w = Window.partitionBy("band_id", "band_val")
+        sized = base.withColumn(
+            "n", F.count(F.lit(1)).over(w)
+        ).withColumn("bucket_min", F.min("id").over(w))
+        small = sized.filter(F.col("n") <= max_bucket).drop(
+            "n", "bucket_min")
+        star = (
+            sized.filter((F.col("n") > max_bucket)
+                         & (F.col("id") != F.col("bucket_min")))
+            .select(F.col("bucket_min").alias("a_id"),
+                    F.col("id").alias("b_id"))
+        )
+    a, b = small.alias("a"), small.alias("b")
+    cand = (
         a.join(b, ["band_id", "band_val"])
         .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("a_id"),
-                F.col("b.id").alias("b_id"),
-                F.col("a.v").alias("av"), F.col("b.v").alias("bv"))
-        .dropDuplicates(["a_id", "b_id"])
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+    )
+    if star is not None:
+        cand = cand.unionByName(star)
+    return (
+        cand.dropDuplicates(["a_id", "b_id"])
+        .join(vecs.select(F.col("id").alias("a_id"),
+                          F.col("v").alias("av")), "a_id")
+        .join(vecs.select(F.col("id").alias("b_id"),
+                          F.col("v").alias("bv")), "b_id")
         .withColumn("sim", cosine_col(F.col("av"), F.col("bv")))
         .withColumn("sim_x10k", F.floor(F.lit(SCALE) * F.col("sim")))
         .filter(F.col("sim_x10k") >= min_x10k)

@@ -154,3 +154,89 @@ def test_minhash_skew_100pct_token(spark):
                       dd.token_set(df), 9000).collect()}
     assert got == exhaustive
     assert got == {(2 * i, 2 * i + 1, 9090) for i in range(200)}
+
+
+def test_lsh_star_edges_bound_hot_buckets(spark):
+    """A band bucket above MAX_BAND_BUCKET emits STAR edges (linear),
+    never the d²/2 clique: N identical signatures → exactly N-1
+    candidate pairs, all anchored at the bucket-min doc id."""
+    n = 2000
+    sig = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.array(*[F.lit(7).cast("bigint")] * dd.NUM_PERM).alias("sig"),
+    )
+    pairs = dd.lsh_candidates(sig).collect()
+    assert len(pairs) == n - 1                      # linear, not n²/2
+    assert {r.a_id for r in pairs} == {0}           # star anchor = min
+    assert {r.b_id for r in pairs} == set(range(1, n))
+
+
+def test_lsh_small_buckets_keep_all_pairs(spark):
+    """Buckets at or under the cap still expand exhaustively."""
+    sig = spark.range(3).select(
+        F.col("id").alias("doc_id"),
+        F.array(*[F.lit(9).cast("bigint")] * dd.NUM_PERM).alias("sig"),
+    )
+    pairs = {(r.a_id, r.b_id) for r in dd.lsh_candidates(sig).collect()}
+    assert pairs == {(0, 1), (0, 2), (1, 2)}
+
+
+def test_precollapse_band_join_never_sees_exact_dups(spark):
+    """10k planted copies of one boilerplate page: the band join runs
+    over DISTINCT fingerprints only, so candidate-pair volume is
+    governed by distinct texts (here: a handful), while the resolution
+    still clusters every copy.  This is the Common-Crawl mega-cluster
+    scale guard: edges grow linearly with duplication, never
+    quadratically."""
+    n = 10_000
+    boiler = [(i, "copyright boilerplate page about nothing at all")
+              for i in range(n)]
+    extras = [(n + i, t) for i, (_, t) in enumerate(DOCS)]
+    df = spark.createDataFrame(boiler + extras, "doc_id long, text string")
+
+    members, rep_pairs = dd._exact_collapsed(df, "text", "doc_id", 9000)
+    # one rep per distinct normalized text; the 10k copies collapse to 1
+    reps = {r.rep for r in members.select("rep").distinct().collect()}
+    assert 0 in reps and len(reps) <= len(DOCS) + 1
+    # rep-level near-dup pairs are over distinct texts only: no pair
+    # may have both ends inside the boilerplate cluster
+    rp = rep_pairs.collect()
+    assert all(not (r.a_id < n and r.b_id < n) or (r.a_id, r.b_id) == (0, 0)
+               for r in rp)
+    assert len(rp) < 50                              # distinct-text scale
+
+    res = dd.dedup_resolution(df, 9000).collect()
+    by_id = {r.doc_id: r for r in res}
+    assert all(by_id[i].cluster == 0 for i in range(n))
+    assert by_id[0].keep and not by_id[1].keep
+    # fixture docs 0/2/6 (exact+near dups) still co-cluster, offset by n
+    assert by_id[n + 0].cluster == by_id[n + 2].cluster == by_id[n + 6].cluster
+
+
+def test_precollapse_pairs_equal_legacy_path(spark, docs_df):
+    """precollapse=True fan-out ≡ the direct banded path ≡ exhaustive."""
+    fast = {(r.a_id, r.b_id, r.jac_x10k)
+            for r in dd.minhash_dedup_pairs(docs_df, 8000).collect()}
+    legacy = {(r.a_id, r.b_id, r.jac_x10k)
+              for r in dd.minhash_dedup_pairs(
+                  docs_df, 8000, precollapse=False).collect()}
+    assert fast == legacy and len(fast) >= 4
+
+
+def test_composed_funnel_keepset_invariant(spark, docs_df):
+    """Curation-order invariance: running exact dedup FIRST (keep one
+    doc per content fingerprint) and then near-dup resolution over the
+    exact keepers elects the SAME final keep-set as the one-shot
+    dedup_resolution — the guarantee that lets the 100 TB funnel
+    precollapse exact duplicates before any band join."""
+    one_shot = {r.doc_id
+                for r in dd.dedup_resolution(docs_df, 8000)
+                .filter("keep").collect()}
+    exact = dd.exact_dedup_map(docs_df)
+    keepers = docs_df.join(
+        exact.filter("doc_id = keeper").select("doc_id"),
+        "doc_id", "left_semi")
+    composed = {r.doc_id
+                for r in dd.dedup_resolution(keepers, 8000)
+                .filter("keep").collect()}
+    assert composed == one_shot and len(one_shot) >= 3

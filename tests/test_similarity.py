@@ -163,3 +163,28 @@ def test_cosine_topk_exact_across_many_partitions(spark, emb_df):
         assert [n for _, n, _ in got_q] == [n for n, _ in want]
         for (_, _, sx), (_, s) in zip(got_q, want):
             assert sx == int(np.floor(1e4 * s))
+
+
+def test_embedding_dup_pairs_guard_matches_unguarded(spark, emb_df):
+    """Cap high enough that no bucket stars: guarded path ≡ full path
+    (ids-only band join + re-attach must not change the answer)."""
+    got = {(r.a_id, r.b_id, r.sim_x10k)
+           for r in sim.embedding_dup_pairs(emb_df, 9000).collect()}
+    ref = {(r.a_id, r.b_id, r.sim_x10k)
+           for r in sim.embedding_dup_pairs(
+               emb_df, 9000, max_bucket=None).collect()}
+    assert got == ref and len(got) >= 3
+
+
+def test_embedding_dup_pairs_star_bounds_hot_bucket(spark):
+    """2000 copies of one embedding collapse every band into a single
+    hot bucket; with a small cap the candidate volume is LINEAR (star
+    edges) and every emitted pair is still exact-cosine verified."""
+    n = 2000
+    base = [0.3, -0.2, 0.9, 0.1]
+    rows = [(i, base) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = sim.embedding_dup_pairs(df, 9999, max_bucket=64).collect()
+    assert len(pairs) == n - 1                   # star: linear, not n²/2
+    assert {r.a_id for r in pairs} == {0}
+    assert all(r.sim_x10k == 10000 for r in pairs)
