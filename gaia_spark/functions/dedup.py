@@ -506,16 +506,28 @@ def simhash_col(postings: DataFrame) -> DataFrame:
 
 def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
                        text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       max_bucket: int = MAX_BAND_BUCKET) -> DataFrame:
     """Near-dup pairs by SimHash Hamming ≤ max_hamming, banded blocking.
 
     Pigeonhole: with 4 16-bit bands, Hamming ≤ 3 ⇒ ≥1 identical band,
     so blocking on band equality has perfect recall for t ≤ 3.
     → (a_id, b_id, hamming)
+
+    Same hot-bucket guard as ``lsh_candidates``: the band self-join
+    carries ids only (simhashes re-attach per candidate pair), and a
+    band bucket above ``max_bucket`` — e.g. 10^7 exact copies of one
+    boilerplate page, which agree in ALL four bands — emits star
+    candidates (bucket-min ↔ member) instead of the d²/2 clique.
+    Star pairs still verify by exact Hamming, and identical docs have
+    distance 0, so duplicate mega-clusters keep full RESOLUTION
+    connectivity through the star.  ``max_bucket=None`` disables.
     """
-    sims = simhash_col(token_set(df, text_col, id_col))
+    from pyspark.sql.window import Window
+
+    sims = simhash_col(token_set(df, text_col, id_col)).localCheckpoint()
     banded = sims.select(
-        "doc_id", "simhash",
+        "doc_id",
         F.posexplode(
             F.array(*[
                 F.shiftright(F.col("simhash"), 16 * k)
@@ -524,20 +536,43 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
             ])
         ).alias("band_id", "band_val"),
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
+    if max_bucket is None:
+        small, star = banded, None
+    else:
+        w = Window.partitionBy("band_id", "band_val")
+        sized = banded.withColumn(
+            "n", F.count(F.lit(1)).over(w)
+        ).withColumn("bucket_min", F.min("doc_id").over(w))
+        small = sized.filter(F.col("n") <= max_bucket).drop(
+            "n", "bucket_min")
+        star = (
+            sized.filter((F.col("n") > max_bucket)
+                         & (F.col("doc_id") != F.col("bucket_min")))
+            .select(F.col("bucket_min").alias("a_id"),
+                    F.col("doc_id").alias("b_id"))
+        )
+    a, b = small.alias("a"), small.alias("b")
+    cand = (
         a.join(b, ["band_id", "band_val"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("a_id"),
-            F.col("b.doc_id").alias("b_id"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
-        )
-        .distinct()
+        .select(F.col("a.doc_id").alias("a_id"),
+                F.col("b.doc_id").alias("b_id"))
     )
-    return pairs.filter(F.col("hamming") <= max_hamming)
+    if star is not None:
+        cand = cand.unionByName(star)
+    return (
+        cand.distinct()
+        .join(sims.select(F.col("doc_id").alias("a_id"),
+                          F.col("simhash").alias("ha")), "a_id")
+        .join(sims.select(F.col("doc_id").alias("b_id"),
+                          F.col("simhash").alias("hb")), "b_id")
+        .select(
+            "a_id", "b_id",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -240,3 +240,18 @@ def test_composed_funnel_keepset_invariant(spark, docs_df):
                 for r in dd.dedup_resolution(keepers, 8000)
                 .filter("keep").collect()}
     assert composed == one_shot and len(one_shot) >= 3
+
+
+def test_simhash_star_bounds_hot_bucket(spark):
+    """Identical docs agree in all four simhash bands; with a small
+    cap the candidate volume is linear (star), every pair still
+    exact-Hamming verified (distance 0 for identical docs)."""
+    n = 600
+    rows = [(i, "the same boilerplate page body repeated verbatim")
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dd.simhash_near_pairs(df, max_hamming=3,
+                                  max_bucket=32).collect()
+    assert len(pairs) == n - 1
+    assert {r.a_id for r in pairs} == {0}
+    assert all(r.hamming == 0 for r in pairs)
