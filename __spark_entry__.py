@@ -2049,6 +2049,16 @@ def text_cms(spark, sf_dir):
     return cms_estimates(_t(spark, sf_dir, "documents"), top_n=20)
 
 
+def text_hll(spark, sf_dir):
+    """HyperLogLog distinct-count estimation: 256-register sketch over
+    char 5-gram shingles (one ≤256-key map-side-combined agg), next to
+    the exact COUNT DISTINCT — est within the 1.04/√256 ≈ 6.5% HLL
+    band (functions/sketch.py; md5-hex register/rank recipe + integer
+    fixed-point estimator make the row hash-exact vs DuckDB)."""
+    from gaia_spark.functions.sketch import hll_distinct
+    return hll_distinct(_t(spark, sf_dir, "documents"))
+
+
 def cls_perceptron(spark, sf_dir):
     """fastText-style linear quality gate, trained IN-ENGINE: 3
     full-batch perceptron rounds in exact int64 (one d-value
@@ -2087,7 +2097,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       quality classifier (functions/classifier.py), the hash
       random-walk sampler (operators/walks.py), and the count-min
       sketch (functions/sketch.py) — first-time records, displacing
-      five r1+r2 double-green entries.
+      five r1+r2 double-green entries.  A sixth r4-new query, the
+      HyperLogLog distinct sketch (text_hll), takes media_meta's
+      mid-window slot (media_meta: green r1 AND r2, unchanged since).
     * Past the cap: queries with 2+ green driver rows across r1-r3
       (incl. the streaming windows/sessions pair recorded green in
       r3) and the rows-only tail whose strongest oracle lives in
@@ -2127,10 +2139,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_dup_pairs": emb_dup_pairs,
         "webtext_curate": webtext_curate,
         # 24-45: load-bearing rotated-back queries (headline bench +
-        # one per operator family)
+        # one per operator family); text_hll is r4-NEW (HLL distinct
+        # sketch), in media_meta's slot (media_meta: green r1+r2)
         "text_quality": text_quality,
         "rel_pricing_summary": rel_pricing_summary,
-        "media_meta": media_meta,
+        "text_hll": text_hll,
         "dedup_chunks": dedup_chunks,
         "dedup_delta": dedup_delta,
         "dedup_spans": dedup_spans,
@@ -2160,7 +2173,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_walks": graph_walks,
         "text_cms": text_cms,
         # --- beyond the 50-row driver cap ------------------------
-        # driver-green in BOTH r1 and r2; displaced by the r4 five
+        # driver-green in BOTH r1 and r2; displaced by the r4 six
+        # (media_meta displaced late for text_hll, the 6th r4-new)
+        "media_meta": media_meta,
         "rel_window_topk_per_group": rel_window_topk_per_group,
         "text_lang_dist": text_lang_dist,
         "text_winnow": text_winnow,
@@ -3151,5 +3166,6 @@ GROUP BY 1, 2, 3
         "FROM lineitem WHERE l_orderkey < 2000",
         walk_len=4, walks_per_node=2)
     sql["text_cms"] = _sk.sql_cms_estimates("documents", 20)
+    sql["text_hll"] = _sk.sql_hll_distinct("documents")
 
     return sql

@@ -144,3 +144,169 @@ probes AS (
 SELECT p.token, p.true_cnt, min(c.cnt)::BIGINT AS cms_cnt
 FROM probes p JOIN cells c USING (row, bucket)
 GROUP BY p.token, p.true_cnt"""
+
+
+# --------------------------------------------------------------------
+# HyperLogLog — sublinear DISTINCT-count estimation
+# --------------------------------------------------------------------
+#
+# The second classic mergeable sketch (Flajolet et al. 2007): where
+# count-min bounds FREQUENCIES, HLL estimates CARDINALITY.  At 100 TB
+# "how many distinct shingles / urls / ngrams" is itself a
+# corpus-scale groupBy; HLL reduces it to a FIXED 256-register vector
+# that is (a) one ≤256-key map-side-combined aggregate to build and
+# (b) mergeable across shards/days by register-wise MAX.
+#
+# Cross-engine recipe (everything md5-hex, so Spark ≡ DuckDB exactly):
+#   reg  = first two hex chars of md5(item)        → 256 registers
+#   tail = next eight hex chars                    → a 32-bit suffix
+#   rank = leading-zero BITS of tail + 1, capped at 33 (tail == 0)
+#     computed WITHOUT any hex→int conversion: z = zero-NIBBLE prefix
+#     length (regexp), plus the zero bits inside the first non-zero
+#     nibble by single-char comparison ('8'≤c → 0, '4'≤c → 1,
+#     '2'≤c → 2, else 3) — identical lexicographic semantics in both
+#     engines.
+#   register value M_j = max(rank) over items landing in j.
+#   raw estimate = α₂₅₆·m²/Σ 2^−M_j with m=256, evaluated EXACTLY in
+#     int64: Σ 2^−M_j = S/2³³ where S = Σ shiftleft(1, 33−M_j) (absent
+#     registers contribute 2³³), so raw = ((m²·2³³ DIV S)·α_num) DIV
+#     α_den — two integer divisions, bit-identical across engines.
+#   small-range (linear-counting) correction: raw ≤ 5m/2 and V>0 →
+#     m·ln(m/V), served from a 256-entry PRECOMPUTED integer literal
+#     table (the literal-array trick importance.py uses for llr).
+# Large-range (2³²-saturation) correction is intentionally omitted:
+# it only matters within 2% of 2³² distincts, far beyond what a
+# 32-bit-tail demo should be used for (use a 64-bit tail there).
+
+import math
+
+#: registers (m) — first two md5 hex chars.
+HLL_M = 256
+
+#: rank cap: 32 tail bits all zero → rank 33.
+HLL_RANK_CAP = 33
+
+#: α₂₅₆ = 0.7213/(1 + 1.079/256) ≈ 0.718272, as an exact ratio.
+HLL_ALPHA_NUM = 71827
+HLL_ALPHA_DEN = 100000
+
+#: linear-counting table: LIN[v] = round(m·ln(m/v)), v = 1..256.
+HLL_LIN = [round(HLL_M * math.log(HLL_M / v)) for v in range(1, HLL_M + 1)]
+
+_HLL_RAW = ("(({m2s}::BIGINT {div} s_tot) * {an}) {div} {ad}").format
+_HLL_M2S = HLL_M * HLL_M * (1 << HLL_RANK_CAP)
+
+
+def _hll_shingles(docs: DataFrame, k: int, text_col: str) -> DataFrame:
+    """char k-gram shingles of whitespace-normalized lowercase text
+    (same normalization as winnow_fingerprints) → one ``s`` column.
+    The explode feeds a ≤256-key partial aggregate, so the shuffle
+    after it carries ≤ tasks×256 rows regardless of corpus size."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    n_sh = F.greatest(F.length("t") - k + 1, F.lit(1))
+    return docs.select(norm.alias("t")).select(
+        F.explode(
+            F.transform(F.sequence(F.lit(1), n_sh),
+                        lambda i: F.substr(F.col("t"), i, F.lit(k)))
+        ).alias("s"))
+
+
+def _hll_rank() -> F.Column:
+    """rank column over an ``h`` md5-hex column (see module recipe)."""
+    tail = F.substring("h", 3, 8)
+    z = F.length(F.regexp_extract(tail, "^(0*)", 1))
+    c = F.substr(tail, z + F.lit(1), F.lit(1))
+    nlz = (F.when(c >= "8", 0).when(c >= "4", 1)
+            .when(c >= "2", 2).otherwise(3))
+    return (F.when(z == 8, F.lit(HLL_RANK_CAP))
+             .otherwise(z * 4 + nlz + 1)).alias("rank")
+
+
+def hll_distinct(docs: DataFrame, k: int = 5,
+                 text_col: str = "text") -> DataFrame:
+    """Estimate the number of DISTINCT char k-gram shingles in the
+    corpus with a 256-register HLL, next to the exact answer.
+
+    → one row (true_distinct, hll_est, err_x10k) where err_x10k =
+    |est − truth|·10⁴ DIV truth.  ``true_distinct`` is the oracle side
+    of the demo (a corpus-scale COUNT DISTINCT); a production caller
+    keeps only the 256-register sketch.  Everything integer, so the
+    row is hash-exact vs the DuckDB twin.
+    """
+    sh = _hll_shingles(docs, k, text_col)
+    ranked = sh.select(
+        F.substring(F.md5("s"), 1, 2).alias("reg"),
+        F.md5("s").alias("h"),
+    ).select("reg", _hll_rank())
+    regs = ranked.groupBy("reg").agg(F.max("rank").alias("m"))
+    stats = regs.agg(
+        F.sum(F.expr(f"shiftleft(1L, {HLL_RANK_CAP} - m)"))
+         .alias("s_present"),
+        F.count(F.lit(1)).alias("n_regs"),
+    ).select(
+        (F.col("s_present")
+         + (F.lit(HLL_M) - F.col("n_regs"))
+         * F.lit(1 << HLL_RANK_CAP)).alias("s_tot"),
+        (F.lit(HLL_M) - F.col("n_regs")).cast("int").alias("v"),
+    )
+    lin = F.array(*[F.lit(x) for x in HLL_LIN])
+    raw = F.expr(_HLL_RAW(m2s=_HLL_M2S, div="DIV",
+                          an=HLL_ALPHA_NUM, ad=HLL_ALPHA_DEN))
+    est = stats.select(
+        F.when((raw <= F.lit(5 * HLL_M // 2)) & (F.col("v") > 0),
+               F.element_at(lin, F.col("v")).cast("long"))
+         .otherwise(raw).cast("long").alias("hll_est"))
+    truth = sh.agg(F.countDistinct("s").cast("long")
+                    .alias("true_distinct"))
+    return truth.crossJoin(est).select(
+        "true_distinct", "hll_est",
+        F.expr("abs(hll_est - true_distinct) * 10000 DIV true_distinct")
+         .alias("err_x10k"),
+    )
+
+
+def sql_hll_distinct(rel: str, k: int = 5, text_col: str = "text") -> str:
+    """DuckDB twin of :func:`hll_distinct` (same constants, same
+    integer arithmetic; DuckDB ``//`` ≡ Spark ``DIV`` on positives)."""
+    lin = ", ".join(str(x) for x in HLL_LIN)
+    norm = rf"trim(regexp_replace(lower({text_col}), '\s+', ' ', 'g'))"
+    return f"""
+WITH docs AS (SELECT {norm} AS t FROM {rel}),
+sh AS (
+  SELECT substr(t, i::INT, {k}) AS s
+  FROM docs, unnest(range(1, greatest(length(t) - {k} + 1, 1) + 1)) AS u(i)
+),
+ranked AS (
+  SELECT substr(h, 1, 2) AS reg,
+         CASE WHEN z = 8 THEN {HLL_RANK_CAP}
+              ELSE z * 4 + CASE WHEN c >= '8' THEN 0
+                                WHEN c >= '4' THEN 1
+                                WHEN c >= '2' THEN 2
+                                ELSE 3 END + 1 END AS rank
+  FROM (SELECT h, z, substr(substr(h, 3, 8), (z + 1)::INT, 1) AS c
+        FROM (SELECT md5(s) AS h,
+                     length(regexp_extract(substr(md5(s), 3, 8),
+                                           '^(0*)', 1)) AS z
+              FROM sh))
+),
+regs AS (SELECT reg, max(rank) AS m FROM ranked GROUP BY reg),
+stats AS (
+  SELECT (sum((1::BIGINT << ({HLL_RANK_CAP} - m)))
+          + ({HLL_M} - count(*)) * {1 << HLL_RANK_CAP}::BIGINT)::BIGINT
+           AS s_tot,
+         ({HLL_M} - count(*))::INT AS v
+  FROM regs
+),
+est AS (
+  SELECT CASE WHEN (({_HLL_M2S}::BIGINT // s_tot) * {HLL_ALPHA_NUM})
+                     // {HLL_ALPHA_DEN} <= {5 * HLL_M // 2} AND v > 0
+              THEN ([{lin}])[v]::BIGINT
+              ELSE ((({_HLL_M2S}::BIGINT // s_tot) * {HLL_ALPHA_NUM})
+                     // {HLL_ALPHA_DEN})::BIGINT END AS hll_est
+  FROM stats
+),
+truth AS (SELECT count(DISTINCT s)::BIGINT AS true_distinct FROM sh)
+SELECT true_distinct, hll_est,
+       (abs(hll_est - true_distinct) * 10000 // true_distinct)::BIGINT
+         AS err_x10k
+FROM truth, est"""
