@@ -1801,6 +1801,32 @@ def graph_clustering(spark, sf_dir):
     return clustering_coefficients(_copurchase_edges(spark, sf_dir))
 
 
+def graph_hyperball(spark, sf_dir):
+    """HyperBall 2-ball sizes per node over the co-purchase graph:
+    mergeable 256-register HLL counters converged edge-wise (Boldi &
+    Vigna 2013) — the corpus-scale neighborhood-size estimator that
+    never materializes (seed, member) pairs.  Registers reuse the
+    exact-integer HLL kernel (functions/sketch.py), so estimates are
+    hash-identical to the unrolled DuckDB twin — see
+    operators/graph.py:hyperball.  Runs on a 1/16 order slice (vs the
+    1/4 slice other graph queries use): 2-balls on the denser slice
+    saturate most registers, which is HyperBall's worst case and a
+    poor demo of the ≤min(|ball|,256)-rows-per-node cost shape."""
+    from gaia_spark.operators.graph import hyperball
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_orderkey") % 16 == 0)
+          .select("l_orderkey", "l_partkey"))
+    a = li.alias("a")
+    b = li.select(F.col("l_orderkey"),
+                  F.col("l_partkey").alias("r_partkey")).alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("l_partkey") < F.col("r_partkey"))
+        .select(F.col("l_partkey").cast("string").alias("src"),
+                F.col("r_partkey").cast("string").alias("dst")))
+    return hyperball(edges, radius=2)
+
+
 #: SCC input synthesis: the affine map v -> 208v+1 (mod 509, prime)
 #: is a PERMUTATION whose multiplier has ORDER 4 (208^2 = -1 mod
 #: 509), so its functional graph is exactly 127 four-cycles + one
@@ -2139,9 +2165,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_dup_pairs": emb_dup_pairs,
         "webtext_curate": webtext_curate,
         # 24-45: load-bearing rotated-back queries (headline bench +
-        # one per operator family); text_hll is r4-NEW (HLL distinct
-        # sketch), in media_meta's slot (media_meta: green r1+r2)
-        "text_quality": text_quality,
+        # one per operator family); text_hll and graph_hyperball are
+        # r4-NEW (HLL distinct sketch; HyperBall ball sizes), in
+        # media_meta's and text_quality's slots (both green r1+r2)
+        "graph_hyperball": graph_hyperball,
         "rel_pricing_summary": rel_pricing_summary,
         "text_hll": text_hll,
         "dedup_chunks": dedup_chunks,
@@ -2173,9 +2200,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_walks": graph_walks,
         "text_cms": text_cms,
         # --- beyond the 50-row driver cap ------------------------
-        # driver-green in BOTH r1 and r2; displaced by the r4 six
-        # (media_meta displaced late for text_hll, the 6th r4-new)
+        # driver-green in BOTH r1 and r2; displaced by the r4 seven
+        # (media_meta / text_quality displaced late for text_hll and
+        # graph_hyperball, the 6th and 7th r4-new window entries)
         "media_meta": media_meta,
+        "text_quality": text_quality,
         "rel_window_topk_per_group": rel_window_topk_per_group,
         "text_lang_dist": text_lang_dist,
         "text_winnow": text_winnow,
@@ -3131,6 +3160,9 @@ GROUP BY 1, 2, 3
     from gaia_spark.operators.graph import sql_clustering_coefficients
     sql["graph_clustering"] = sql_clustering_coefficients(
         _SQL_COPURCHASE)
+    from gaia_spark.operators.graph import sql_hyperball
+    sql["graph_hyperball"] = sql_hyperball(
+        _SQL_COPURCHASE.replace("% 4", "% 16"), radius=2)
     from gaia_spark.operators.graph import sql_scc_labels
     sql["graph_scc"] = sql_scc_labels(_SQL_SCC_EDGES)
     sql["graph_scc_fb"] = sql_scc_labels(_SQL_SCC_EDGES)

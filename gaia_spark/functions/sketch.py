@@ -222,6 +222,49 @@ def _hll_rank() -> F.Column:
              .otherwise(z * 4 + nlz + 1)).alias("rank")
 
 
+def hll_ranked(items: DataFrame, item_col: str,
+               keys: list[str] | None = None) -> DataFrame:
+    """(keys…, reg, m): raw register observations for each item —
+    the mergeable HLL building block (pre-max; callers may carry
+    duplicate (keys, reg) rows).  One row per input item."""
+    keys = keys or []
+    return items.select(
+        *keys,
+        F.substring(F.md5(item_col), 1, 2).alias("reg"),
+        F.md5(item_col).alias("h"),
+    ).select(*keys, "reg", _hll_rank().alias("m"))
+
+
+def hll_estimate(regs: DataFrame,
+                 keys: list[str] | None = None,
+                 out_col: str = "hll_est") -> DataFrame:
+    """(keys…, reg, m) observations → (keys…, out_col): the exact
+    integer HLL estimate per key group (globally when ``keys`` is
+    empty).  Collapses duplicate (keys, reg) rows by MAX first — the
+    HLL merge — so inputs from any number of shards compose."""
+    keys = keys or []
+    folded = regs.groupBy(*keys, "reg").agg(F.max("m").alias("m"))
+    stats = folded.groupBy(*keys).agg(
+        F.sum(F.expr(f"shiftleft(1L, {HLL_RANK_CAP} - m)"))
+         .alias("s_present"),
+        F.count(F.lit(1)).alias("n_regs"),
+    ).select(
+        *keys,
+        (F.col("s_present")
+         + (F.lit(HLL_M) - F.col("n_regs"))
+         * F.lit(1 << HLL_RANK_CAP)).alias("s_tot"),
+        (F.lit(HLL_M) - F.col("n_regs")).cast("int").alias("v"),
+    )
+    lin = F.array(*[F.lit(x) for x in HLL_LIN])
+    raw = F.expr(_HLL_RAW(m2s=_HLL_M2S, div="DIV",
+                          an=HLL_ALPHA_NUM, ad=HLL_ALPHA_DEN))
+    return stats.select(
+        *keys,
+        F.when((raw <= F.lit(5 * HLL_M // 2)) & (F.col("v") > 0),
+               F.element_at(lin, F.col("v")).cast("long"))
+         .otherwise(raw).cast("long").alias(out_col))
+
+
 def hll_distinct(docs: DataFrame, k: int = 5,
                  text_col: str = "text") -> DataFrame:
     """Estimate the number of DISTINCT char k-gram shingles in the
@@ -234,28 +277,7 @@ def hll_distinct(docs: DataFrame, k: int = 5,
     row is hash-exact vs the DuckDB twin.
     """
     sh = _hll_shingles(docs, k, text_col)
-    ranked = sh.select(
-        F.substring(F.md5("s"), 1, 2).alias("reg"),
-        F.md5("s").alias("h"),
-    ).select("reg", _hll_rank())
-    regs = ranked.groupBy("reg").agg(F.max("rank").alias("m"))
-    stats = regs.agg(
-        F.sum(F.expr(f"shiftleft(1L, {HLL_RANK_CAP} - m)"))
-         .alias("s_present"),
-        F.count(F.lit(1)).alias("n_regs"),
-    ).select(
-        (F.col("s_present")
-         + (F.lit(HLL_M) - F.col("n_regs"))
-         * F.lit(1 << HLL_RANK_CAP)).alias("s_tot"),
-        (F.lit(HLL_M) - F.col("n_regs")).cast("int").alias("v"),
-    )
-    lin = F.array(*[F.lit(x) for x in HLL_LIN])
-    raw = F.expr(_HLL_RAW(m2s=_HLL_M2S, div="DIV",
-                          an=HLL_ALPHA_NUM, ad=HLL_ALPHA_DEN))
-    est = stats.select(
-        F.when((raw <= F.lit(5 * HLL_M // 2)) & (F.col("v") > 0),
-               F.element_at(lin, F.col("v")).cast("long"))
-         .otherwise(raw).cast("long").alias("hll_est"))
+    est = hll_estimate(hll_ranked(sh, "s"))
     truth = sh.agg(F.countDistinct("s").cast("long")
                     .alias("true_distinct"))
     return truth.crossJoin(est).select(
@@ -265,10 +287,52 @@ def hll_distinct(docs: DataFrame, k: int = 5,
     )
 
 
+def sql_hll_ranked(src: str, item_expr: str, keys: str = "") -> str:
+    """DuckDB twin of :func:`hll_ranked`: a SELECT over relation
+    ``src`` producing (keys…, reg, m).  ``keys`` is a trailing-comma
+    column list ('' for none)."""
+    return f"""
+  SELECT {keys} substr(h, 1, 2) AS reg,
+         CASE WHEN z = 8 THEN {HLL_RANK_CAP}
+              ELSE z * 4 + CASE WHEN c >= '8' THEN 0
+                                WHEN c >= '4' THEN 1
+                                WHEN c >= '2' THEN 2
+                                ELSE 3 END + 1 END AS m
+  FROM (SELECT {keys} h, z, substr(substr(h, 3, 8), (z + 1)::INT, 1) AS c
+        FROM (SELECT {keys} md5({item_expr}) AS h,
+                     length(regexp_extract(substr(md5({item_expr}), 3, 8),
+                                           '^(0*)', 1)) AS z
+              FROM {src}))"""
+
+
+def sql_hll_estimate(regs_rel: str, keys: str = "",
+                     out_col: str = "hll_est") -> str:
+    """DuckDB twin of :func:`hll_estimate`: a SELECT over a
+    (keys…, reg, m) relation producing (keys…, out_col).  Folds
+    duplicate (keys, reg) rows by MAX first, exactly as the Spark
+    side does."""
+    lin = ", ".join(str(x) for x in HLL_LIN)
+    kb = f"GROUP BY {keys.rstrip(', ')}" if keys else ""
+    raw = (f"((({_HLL_M2S}::BIGINT // s_tot) * {HLL_ALPHA_NUM})"
+           f" // {HLL_ALPHA_DEN})")
+    return f"""
+  SELECT {keys} CASE WHEN {raw} <= {5 * HLL_M // 2} AND v > 0
+              THEN ([{lin}])[v]::BIGINT
+              ELSE {raw}::BIGINT END AS {out_col}
+  FROM (
+    SELECT {keys} (sum((1::BIGINT << ({HLL_RANK_CAP} - m)))
+            + ({HLL_M} - count(*)) * {1 << HLL_RANK_CAP}::BIGINT)::BIGINT
+             AS s_tot,
+           ({HLL_M} - count(*))::INT AS v
+    FROM (SELECT {keys} reg, max(m) AS m FROM {regs_rel}
+          GROUP BY {keys}reg)
+    {kb}
+  )"""
+
+
 def sql_hll_distinct(rel: str, k: int = 5, text_col: str = "text") -> str:
     """DuckDB twin of :func:`hll_distinct` (same constants, same
     integer arithmetic; DuckDB ``//`` ≡ Spark ``DIV`` on positives)."""
-    lin = ", ".join(str(x) for x in HLL_LIN)
     norm = rf"trim(regexp_replace(lower({text_col}), '\s+', ' ', 'g'))"
     return f"""
 WITH docs AS (SELECT {norm} AS t FROM {rel}),
@@ -276,35 +340,8 @@ sh AS (
   SELECT substr(t, i::INT, {k}) AS s
   FROM docs, unnest(range(1, greatest(length(t) - {k} + 1, 1) + 1)) AS u(i)
 ),
-ranked AS (
-  SELECT substr(h, 1, 2) AS reg,
-         CASE WHEN z = 8 THEN {HLL_RANK_CAP}
-              ELSE z * 4 + CASE WHEN c >= '8' THEN 0
-                                WHEN c >= '4' THEN 1
-                                WHEN c >= '2' THEN 2
-                                ELSE 3 END + 1 END AS rank
-  FROM (SELECT h, z, substr(substr(h, 3, 8), (z + 1)::INT, 1) AS c
-        FROM (SELECT md5(s) AS h,
-                     length(regexp_extract(substr(md5(s), 3, 8),
-                                           '^(0*)', 1)) AS z
-              FROM sh))
-),
-regs AS (SELECT reg, max(rank) AS m FROM ranked GROUP BY reg),
-stats AS (
-  SELECT (sum((1::BIGINT << ({HLL_RANK_CAP} - m)))
-          + ({HLL_M} - count(*)) * {1 << HLL_RANK_CAP}::BIGINT)::BIGINT
-           AS s_tot,
-         ({HLL_M} - count(*))::INT AS v
-  FROM regs
-),
-est AS (
-  SELECT CASE WHEN (({_HLL_M2S}::BIGINT // s_tot) * {HLL_ALPHA_NUM})
-                     // {HLL_ALPHA_DEN} <= {5 * HLL_M // 2} AND v > 0
-              THEN ([{lin}])[v]::BIGINT
-              ELSE ((({_HLL_M2S}::BIGINT // s_tot) * {HLL_ALPHA_NUM})
-                     // {HLL_ALPHA_DEN})::BIGINT END AS hll_est
-  FROM stats
-),
+ranked AS ({sql_hll_ranked("sh", "s")}),
+est AS ({sql_hll_estimate("ranked")}),
 truth AS (SELECT count(DISTINCT s)::BIGINT AS true_distinct FROM sh)
 SELECT true_distinct, hll_est,
        (abs(hll_est - true_distinct) * 10000 // true_distinct)::BIGINT

@@ -1117,3 +1117,82 @@ def sql_personalized_pagerank(edges_sql: str, seeds: list[str],
         )
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT node, rank_ppm FROM r{iters}")
+
+
+def hyperball(edges: DataFrame, radius: int = 3) -> DataFrame:
+    """HyperBall (Boldi & Vigna 2013): per-node ball-size estimates
+    |B(v, radius)| via mergeable HLL registers → (node, ball_est).
+
+    The corpus-scale answer to "how big is each node's r-hop
+    neighborhood" (reach of an entity in the KG, blast radius of a
+    bad merge, spam-farm density): exact per-node balls need the full
+    (seed, member) materialization — Σ|ball| rows, quadratic on dense
+    graphs — while HyperBall carries ≤ min(|ball|, 256) register rows
+    per node and converges them with max().  This is the algorithm
+    that measured the average distance of the Facebook graph.
+
+    Register recipe and exact-integer estimator are shared with
+    functions/sketch.py:hll_distinct (md5-hex registers, shiftleft
+    harmonic sum, literal linear-counting table), so the estimates are
+    hash-identical across engines and partitionings.  Balls are over
+    the UNDIRECTED simple graph and include the node itself.
+
+    Scale shape: per round ONE edges⋈registers join + ONE
+    (node, reg) max-combine — cost O(E·m̄) rows with m̄ ≤ 256
+    regardless of ball sizes (the whole point vs BFS); register rows
+    are map-side max-combined before the exchange; lineage truncated
+    per round.  On a real cluster, bucket edges by dst so every round
+    reuses the same partitioning.
+    """
+    from gaia_spark.functions.sketch import hll_estimate, hll_ranked
+
+    und = _undirected(edges)
+    both = (
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(
+            und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint()
+    )
+    nodes = both.select(F.col("src").alias("node")).distinct()
+    regs = hll_ranked(nodes, "node", ["node"]).localCheckpoint()
+    for _ in range(radius):
+        nb = (
+            both.alias("e")
+            .join(regs.alias("r"), F.col("e.dst") == F.col("r.node"))
+            .select(F.col("e.src").alias("node"),
+                    F.col("r.reg").alias("reg"), F.col("r.m").alias("m"))
+        )
+        regs = (
+            regs.unionByName(nb)
+            .groupBy("node", "reg").agg(F.max("m").alias("m"))
+            .localCheckpoint()
+        )
+    return hll_estimate(regs, ["node"], out_col="ball_est")
+
+
+def sql_hyperball(edges_sql: str, radius: int = 3) -> str:
+    """DuckDB twin: the same ``radius`` register-merge rounds unrolled
+    as CTEs over the shared sketch.py SQL kernels."""
+    from gaia_spark.functions.sketch import (sql_hll_estimate,
+                                             sql_hll_ranked)
+
+    ctes = [
+        f"und AS (SELECT DISTINCT least(src, dst) AS a, "
+        f"greatest(src, dst) AS b FROM ({edges_sql}) WHERE src <> dst)",
+        "booth AS (SELECT a AS src, b AS dst FROM und "
+        "UNION ALL SELECT b, a FROM und)",
+        "vertices AS (SELECT DISTINCT src AS node FROM booth)",
+        f"h0 AS ({sql_hll_ranked('vertices', 'node', 'node, ')})",
+    ]
+    for i in range(1, radius + 1):
+        ctes.append(
+            f"h{i} AS (SELECT node, reg, max(m) AS m FROM ("
+            f"SELECT node, reg, m FROM h{i-1} "
+            f"UNION ALL "
+            f"SELECT b.src AS node, r.reg, r.m FROM booth b "
+            f"JOIN h{i-1} r ON r.node = b.dst"
+            f") GROUP BY node, reg)"
+        )
+    return ("WITH " + ",\n".join(ctes)
+            + sql_hll_estimate(f"h{radius}", "node, ",
+                               out_col="ball_est"))
