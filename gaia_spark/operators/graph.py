@@ -1196,3 +1196,90 @@ def sql_hyperball(edges_sql: str, radius: int = 3) -> str:
     return ("WITH " + ",\n".join(ctes)
             + sql_hll_estimate(f"h{radius}", "node, ",
                                out_col="ball_est"))
+
+
+def wl_labels(edges: DataFrame, rounds: int = 2) -> DataFrame:
+    """Weisfeiler-Lehman structural node signatures → (node, wl_label).
+
+    Round 0 labels each node with md5 of its degree; each round
+    relabels l(v) = md5(l(v) + '#' + the '|'-joined SORTED multiset
+    of neighbor labels) — after k rounds two nodes share a label iff
+    1-WL cannot distinguish their k-hop neighborhood structure.  The
+    KG/web use: structural-role clustering (hub vs leaf vs bridge),
+    templated-site detection (mirrored link structures collapse to
+    one label), and cheap graph-isomorphism screening of extracted
+    subgraphs — content-free, so it survives renamed entities.
+
+    Everything is md5-over-ASCII-hex: sort_array on 32-char hex
+    strings is plain codepoint order in every engine, making the
+    labels hash-identical to the DuckDB twin (list_sort +
+    array_to_string).  Over the UNDIRECTED simple graph.
+
+    Scale shape: per round ONE edges⋈labels join + ONE node-keyed
+    collect_list — a degree-d node carries O(d) fixed 33-byte label
+    entries per round (the multiset is the WL contract; hubs are the
+    documented worst case, AQE skew split applies).  Lineage
+    truncated per round.
+    """
+    und = _undirected(edges)
+    both = (
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(
+            und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint()
+    )
+    lab = (
+        both.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select("node",
+                F.md5(F.concat(F.lit("d"), F.col("deg").cast("string")))
+                 .alias("wl_label"))
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        nb = (
+            both.alias("e")
+            .join(lab.alias("l"), F.col("e.dst") == F.col("l.node"))
+            .select(F.col("e.src").alias("node"),
+                    F.col("l.wl_label").alias("nb_label"))
+            .groupBy("node")
+            .agg(F.concat_ws(
+                "|", F.sort_array(F.collect_list("nb_label")))
+                .alias("nbs"))
+        )
+        lab = (
+            lab.join(nb, "node")
+            .select("node",
+                    F.md5(F.concat_ws("#", "wl_label", "nbs"))
+                     .alias("wl_label"))
+            .localCheckpoint()
+        )
+    return lab
+
+
+def sql_wl_labels(edges_sql: str, rounds: int = 2) -> str:
+    """DuckDB twin: the same ``rounds`` relabelings unrolled
+    (list_sort over md5-hex ≡ Spark sort_array; '#'/'|' joins)."""
+    ctes = [
+        f"und AS (SELECT DISTINCT least(src, dst) AS a, "
+        f"greatest(src, dst) AS b FROM ({edges_sql}) WHERE src <> dst)",
+        "booth AS (SELECT a AS src, b AS dst FROM und "
+        "UNION ALL SELECT b, a FROM und)",
+        "w0 AS (SELECT src AS node, "
+        "md5('d' || count(*)::VARCHAR) AS wl_label "
+        "FROM booth GROUP BY src)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"n{i} AS (SELECT e.src AS node, "
+            f"array_to_string(list_sort(list(l.wl_label)), '|') AS nbs "
+            f"FROM booth e JOIN w{i-1} l ON e.dst = l.node "
+            f"GROUP BY e.src)"
+        )
+        ctes.append(
+            f"w{i} AS (SELECT w.node, "
+            f"md5(w.wl_label || '#' || n.nbs) AS wl_label "
+            f"FROM w{i-1} w JOIN n{i} n USING (node))"
+        )
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, wl_label FROM w{rounds}")
