@@ -106,26 +106,18 @@ def _assign_exact_udf(df: DataFrame, centroids: list[list[int]]):
     return assign
 
 
-def kmeans_exact(
-    corpus: DataFrame,
-    k: int = 4,
-    iters: int = 2,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """→ (vec_id, cluster, dist): final assignment after ``iters``
-    Lloyd rounds from the md5-seeded init, plus the exact int64
-    squared distance to the winning centroid (in µ-unit² space).
+def kmeans_train(base: DataFrame, k: int, iters: int) -> list[list[int]]:
+    """The exact-int64 Lloyd loop over an integerized
+    ``(vec_id, v: array<bigint>)`` frame → final centroids.
 
-    Deterministic under any partitioning / task order / retry: every
-    aggregate is an order-free integer sum, the init is a total order
-    on (md5(id), id), and ties break on cluster index.
+    Shared by :func:`kmeans_exact` and the PQ codebook trainer
+    (functions/pq.py).  Init is the total order (md5(vec_id),
+    vec_id); every update is an order-free integer sum + floor
+    division, so centroids are bit-identical under any partitioning
+    and to the unrolled DuckDB twin.  Per round the shuffle carries
+    ≤ tasks×k×dim partial sums (map-side combined); only k×dim
+    centroid values touch the driver.
     """
-    base = big_local_checkpoint(corpus.select(
-        F.col(id_col).alias("vec_id"),
-        _int_vec(F.col(vec_col)).alias("v"),
-    ))  # corpus-sized, re-scanned every Lloyd round → serialized blocks
-
     seeds = (
         base.withColumn("h", F.md5(F.col("vec_id").cast("string")))
         .orderBy("h", "vec_id").limit(k).select("v").collect()
@@ -150,7 +142,30 @@ def kmeans_exact(
         for ci, dims in by_cluster.items():
             centroids[ci] = [dims[d] for d in sorted(dims)]
         # clusters absent from by_cluster (emptied) keep old centroid
+    return centroids
 
+
+def kmeans_exact(
+    corpus: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (vec_id, cluster, dist): final assignment after ``iters``
+    Lloyd rounds from the md5-seeded init, plus the exact int64
+    squared distance to the winning centroid (in µ-unit² space).
+
+    Deterministic under any partitioning / task order / retry: every
+    aggregate is an order-free integer sum, the init is a total order
+    on (md5(id), id), and ties break on cluster index.
+    """
+    base = big_local_checkpoint(corpus.select(
+        F.col(id_col).alias("vec_id"),
+        _int_vec(F.col(vec_col)).alias("v"),
+    ))  # corpus-sized, re-scanned every Lloyd round → serialized blocks
+
+    centroids = kmeans_train(base, k, iters)
     assign = _assign_exact_udf(base, centroids)
     out = assign(F.col("v")).alias("a")
     return base.select(
@@ -253,6 +268,59 @@ FROM j
 """
 
 
+def sql_kmeans_ctes(
+    rel: str,
+    k: int,
+    iters: int,
+    id_col: str = "vec_id",
+    vec_expr: str = "embedding",
+    prefix: str = "",
+) -> tuple[list[str], str, str]:
+    """The unrolled kmeans CTE chain, name-prefixed so several chains
+    (one per PQ subspace) can share one WITH.  Returns (ctes,
+    final_assignment_cte, final_centroids_cte) — the assignment has
+    (vec_id, cluster, dist), the centroids (cluster, c)."""
+    p = prefix
+    seed_order = "md5(vec_id::VARCHAR), vec_id"
+    ctes = [
+        f"""{p}e AS (
+  SELECT {id_col} AS vec_id,
+         list_transform({vec_expr},
+           x -> floor({KM_SCALE} * (x::DOUBLE + {KM_OFFSET}))::BIGINT)
+           AS v
+  FROM {rel})""",
+        f"""{p}c0 AS (
+  SELECT (row_number() OVER (ORDER BY {seed_order}))::INT - 1
+           AS cluster, v AS c
+  FROM {p}e
+  QUALIFY row_number() OVER (ORDER BY {seed_order}) <= {k})""",
+    ]
+    for t in range(1, iters + 2):  # iters updates + 1 final assignment
+        ctes.append(f"""{p}d{t} AS (
+  SELECT e.vec_id, c.cluster,
+         list_sum(list_transform(list_zip(e.v, c.c),
+                  z -> (z[1] - z[2]) * (z[1] - z[2]))) AS dist
+  FROM {p}e e CROSS JOIN {p}c{t - 1} c)""")
+        ctes.append(f"""{p}a{t} AS (
+  SELECT vec_id, cluster, dist FROM {p}d{t}
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY dist, cluster) = 1)""")
+        if t == iters + 1:
+            break
+        ctes.append(f"""{p}m{t} AS (
+  SELECT cluster, dim, sum(x) // count(*) AS comp
+  FROM (SELECT a.cluster, generate_subscripts(e.v, 1) AS dim,
+               unnest(e.v) AS x
+        FROM {p}e e JOIN {p}a{t} a USING (vec_id))
+  GROUP BY cluster, dim)""")
+        ctes.append(f"""{p}c{t} AS (
+  SELECT p.cluster, coalesce(n.c, p.c) AS c
+  FROM {p}c{t - 1} p LEFT JOIN
+    (SELECT cluster, list(comp ORDER BY dim) AS c
+     FROM {p}m{t} GROUP BY cluster) n USING (cluster))""")
+    return ctes, f"{p}a{iters + 1}", f"{p}c{iters}"
+
+
 def sql_kmeans_exact(
     rel: str,
     k: int = 4,
@@ -261,45 +329,9 @@ def sql_kmeans_exact(
     vec_col: str = "embedding",
 ) -> str:
     """DuckDB twin: the same init + iterations unrolled as CTEs."""
-    seed_order = "md5(vec_id::VARCHAR), vec_id"
-    ctes = [
-        f"""e AS (
-  SELECT {id_col} AS vec_id,
-         list_transform({vec_col},
-           x -> floor({KM_SCALE} * (x::DOUBLE + {KM_OFFSET}))::BIGINT)
-           AS v
-  FROM {rel})""",
-        f"""c0 AS (
-  SELECT (row_number() OVER (ORDER BY {seed_order}))::INT - 1
-           AS cluster, v AS c
-  FROM e
-  QUALIFY row_number() OVER (ORDER BY {seed_order}) <= {k})""",
-    ]
-    for t in range(1, iters + 2):  # iters updates + 1 final assignment
-        ctes.append(f"""d{t} AS (
-  SELECT e.vec_id, c.cluster,
-         list_sum(list_transform(list_zip(e.v, c.c),
-                  z -> (z[1] - z[2]) * (z[1] - z[2]))) AS dist
-  FROM e CROSS JOIN c{t - 1} c)""")
-        ctes.append(f"""a{t} AS (
-  SELECT vec_id, cluster, dist FROM d{t}
-  QUALIFY row_number() OVER (PARTITION BY vec_id
-                             ORDER BY dist, cluster) = 1)""")
-        if t == iters + 1:
-            break
-        ctes.append(f"""m{t} AS (
-  SELECT cluster, dim, sum(x) // count(*) AS comp
-  FROM (SELECT a.cluster, generate_subscripts(e.v, 1) AS dim,
-               unnest(e.v) AS x
-        FROM e JOIN a{t} a USING (vec_id))
-  GROUP BY cluster, dim)""")
-        ctes.append(f"""c{t} AS (
-  SELECT p.cluster, coalesce(n.c, p.c) AS c
-  FROM c{t - 1} p LEFT JOIN
-    (SELECT cluster, list(comp ORDER BY dim) AS c
-     FROM m{t} GROUP BY cluster) n USING (cluster))""")
+    ctes, final_a, _ = sql_kmeans_ctes(rel, k, iters, id_col, vec_col)
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT vec_id, cluster::INT AS cluster, "
-          f"dist::BIGINT AS dist FROM a{iters + 1}"
+          f"dist::BIGINT AS dist FROM {final_a}"
     )

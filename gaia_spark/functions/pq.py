@@ -1,0 +1,269 @@
+"""Product quantization (PQ) ANN — compressed-domain top-k search
+(Jégou, Douze & Schmid 2011), engine-exact.
+
+IVF prunes WHICH vectors a query touches (similarity.py); PQ shrinks
+WHAT each touched vector costs: the embedding is split into
+``n_sub`` subspaces, each subspace gets its own k-means codebook,
+and a vector is stored as ``n_sub`` small code ids (here 4 codes ≈
+4 bytes vs 64 floats = 256 bytes — the 64× compression that lets a
+100 TB embedding corpus sit in executor memory).  Search is
+asymmetric distance computation (ADC): per query, a tiny
+(n_sub × n_codes) lookup table of exact squared distances from the
+query's sub-vectors to every codeword; a database vector's
+approximate distance is the sum of ``n_sub`` table entries — no
+per-vector float math at all.
+
+Engine-exact contract: sub-vectors are sliced AFTER the shared
+µ-unit integerization (clustering.py:_int_vec), codebooks come from
+the shared exact-int64 Lloyd trainer (clustering.py:kmeans_train,
+same md5 seed order, same floor-division means), and ADC distances
+are int64 sums — so codes, tables and the final top-k are
+hash-identical to the unrolled DuckDB twin.  Ties break (dist,
+neighbor_id), code ties to the lowest code id, everywhere.
+
+Scale shape: training touches the corpus iters×n_sub times but
+moves only ≤ tasks×n_codes×sub_dim partial sums per round; encoding
+is one Arrow-batched pass per subspace; ADC explodes each encoded
+vector into n_sub (subspace, code) rows joined against a BROADCAST
+(n_queries × n_sub × n_codes)-row table and re-assembled by one
+(query, vector) sum — per query the work is linear in N with
+constant ~n_sub, never touching raw vectors.  The top-k window uses
+the same per-partition partial top-k pruning argument as
+similarity.py:cosine_topk.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from gaia_spark.functions.clustering import (KM_OFFSET, KM_SCALE, _int_vec,
+                                             sql_kmeans_ctes)
+from gaia_spark.checkpoint import big_local_checkpoint
+
+
+def _assign_multi_udf(df: DataFrame,
+                      codebooks: list[list[list[int]]]):
+    """Vectorized (sub, v) → nearest-code assignment against a
+    BROADCAST (n_sub × n_codes × sub_dim) int64 codebook tensor —
+    one Arrow pass encodes every subspace of every vector (the
+    per-subspace variant of clustering.py:_assign_exact_udf; same
+    exact expansion, same lowest-index tie-break)."""
+    bc = df.sparkSession.sparkContext.broadcast(
+        np.asarray(codebooks, dtype=np.int64))
+
+    @pandas_udf("int")
+    def assign(sub: pd.Series, v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        C = bc.value
+        X = np.stack([np.asarray(x, dtype=np.int64) for x in v])
+        subs = sub.to_numpy()
+        out = np.empty(len(v), dtype=np.int32)
+        for s in np.unique(subs):
+            m = subs == s
+            Xs, Cs = X[m], C[s]
+            d2 = ((Xs * Xs).sum(axis=1)[:, None]
+                  - 2 * (Xs @ Cs.T)
+                  + (Cs * Cs).sum(axis=1)[None, :])
+            out[m] = np.argmin(d2, axis=1)
+        return pd.Series(out)
+
+    return assign
+
+
+def pq_train_encode(
+    corpus: DataFrame,
+    n_sub: int = 4,
+    n_codes: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[list[int]]]]:
+    """Train per-subspace codebooks and encode the corpus — all
+    subspaces JOINTLY, one corpus pass per Lloyd round (not n_sub
+    passes: the subspace id is just another grouping key in the
+    centroid-update aggregate).
+
+    → (codes_df, codebooks): ``codes_df`` has (vec_id, sub, code) —
+    n_sub rows per vector; ``codebooks[s]`` is the n_codes×sub_dim
+    int-µ centroid list for subspace s.  Bit-identical to training
+    each subspace separately with clustering.py:kmeans_train (same
+    md5 seed order — the seed VECTORS are shared, sliced per
+    subspace — same floor-division means, same tie-breaks), which is
+    what the DuckDB twin unrolls.
+    """
+    base = big_local_checkpoint(corpus.select(
+        F.col(id_col).alias("vec_id"),
+        _int_vec(F.col(vec_col)).alias("v"),
+    ))
+    dim = len(base.select("v").first().v)
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    sub_dim = dim // n_sub
+
+    seed_rows = (
+        base.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id").limit(n_codes).select("v").collect()
+    )
+    codebooks = [
+        [list(r.v[s * sub_dim:(s + 1) * sub_dim]) for r in seed_rows]
+        for s in range(n_sub)
+    ]
+
+    subs = big_local_checkpoint(base.select(
+        "vec_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(s).alias("sub"),
+                     F.slice("v", s * sub_dim + 1, sub_dim).alias("v"))
+            for s in range(n_sub)])).alias("sv"),
+    ).select("vec_id", F.col("sv.sub").alias("sub"),
+             F.col("sv.v").alias("v")))
+
+    for _ in range(iters):
+        assign = _assign_multi_udf(subs, codebooks)
+        assigned = subs.select(
+            "sub", "v", assign(F.col("sub"), F.col("v")).alias("code"))
+        sums = (
+            assigned.select("sub", "code",
+                            F.posexplode(F.col("v")).alias("dim", "x"))
+            .groupBy("sub", "code", "dim")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )  # ≤ n_sub×n_codes×sub_dim rows — tiny by construction
+        upd: dict[tuple[int, int], dict[int, int]] = {}
+        for r in sums:
+            upd.setdefault((int(r.sub), int(r.code)), {})[int(r.dim)] = (
+                int(r.s) // int(r.n))
+        for (s, c), dims in upd.items():
+            codebooks[s][c] = [dims[d] for d in sorted(dims)]
+        # (sub, code) cells absent from upd (emptied) keep old centroid
+
+    assign = _assign_multi_udf(subs, codebooks)
+    codes = subs.select(
+        "vec_id", "sub",
+        assign(F.col("sub"), F.col("v")).alias("code"))
+    return codes, codebooks
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_sub: int = 4,
+    n_codes: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ/ADC approximate top-k → (query_id, neighbor_id, rank,
+    adc_dist) with exact-int64 ADC distances (µ-unit² space).
+
+    ``queries`` must be rows of the same table shape (they are
+    excluded from their own result by id).
+    """
+    codes, codebooks = pq_train_encode(
+        corpus, n_sub, n_codes, iters, id_col, vec_col)
+    sub_dim = len(codebooks[0][0])
+    spark = corpus.sparkSession
+
+    cb_rows = [(s, c, codebooks[s][c])
+               for s in range(n_sub) for c in range(len(codebooks[s]))]
+    cb_df = spark.createDataFrame(
+        cb_rows, "sub int, code int, cw array<bigint>")
+
+    qsub = queries.select(
+        F.col(id_col).alias("query_id"),
+        _int_vec(F.col(vec_col)).alias("qv"),
+    ).select(
+        "query_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.slice("qv", s * sub_dim + 1, sub_dim).alias("q"))
+            for s in range(n_sub)])).alias("sq"),
+    ).select("query_id", F.col("sq.sub").alias("sub"),
+             F.col("sq.q").alias("q"))
+
+    # the ADC lookup table: n_queries × n_sub × n_codes rows, exact
+    # int64 squared distances — tiny, broadcast to the codes join.
+    table = qsub.join(cb_df, "sub").select(
+        "query_id", "sub", "code",
+        F.aggregate(
+            F.zip_with("q", "cw", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+        .alias("d2"))
+
+    adc = (
+        codes.join(F.broadcast(table), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d2").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )
+
+
+def sql_pq_topk(
+    rel: str,
+    k: int = 5,
+    n_sub: int = 4,
+    n_codes: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    query_where: str = "vec_id < 8",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`pq_topk`: n_sub prefixed kmeans CTE
+    chains (shared clustering.py generator) + the same ADC table and
+    (dist, neighbor_id) top-k.  ``dim`` must match the data (the
+    Spark side infers it)."""
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    sub_dim = dim // n_sub
+    ctes: list[str] = []
+    code_sel, table_sel = [], []
+    for s in range(n_sub):
+        lo, hi = s * sub_dim + 1, (s + 1) * sub_dim
+        sub_ctes, final_a, final_c = sql_kmeans_ctes(
+            rel, n_codes, iters, id_col,
+            f"{vec_col}[{lo}:{hi}]", prefix=f"s{s}_")
+        ctes.extend(sub_ctes)
+        code_sel.append(
+            f"SELECT vec_id, {s} AS sub, cluster AS code FROM {final_a}")
+        table_sel.append(f"""
+  SELECT q.query_id, {s} AS sub, c.cluster AS code,
+         list_sum(list_transform(list_zip(q.qv, c.c),
+                  z -> (z[1] - z[2]) * (z[1] - z[2])))::BIGINT AS d2
+  FROM (SELECT {id_col} AS query_id,
+               list_transform({vec_col}[{lo}:{hi}],
+                 x -> floor({KM_SCALE} * (x::DOUBLE + {KM_OFFSET}))::BIGINT)
+                 AS qv
+        FROM {rel} WHERE {query_where}) q
+  CROSS JOIN {final_c} c""")
+    ctes.append("codes AS (" + " UNION ALL ".join(code_sel) + ")")
+    ctes.append("tbl AS (" + " UNION ALL ".join(table_sel) + ")")
+    ctes.append("""adc AS (
+  SELECT t.query_id, c.vec_id AS neighbor_id,
+         sum(t.d2)::BIGINT AS adc_dist
+  FROM codes c JOIN tbl t USING (sub, code)
+  WHERE c.vec_id <> t.query_id
+  GROUP BY t.query_id, c.vec_id)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT query_id, neighbor_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY adc_dist, neighbor_id)::INT AS rank,
+       adc_dist
+FROM adc
+QUALIFY rank <= {k}"""
+    )
