@@ -1735,6 +1735,37 @@ def streaming_sessions(spark, sf_dir):
     return spark.table("streaming_sessions_out")
 
 
+def streaming_hll(spark, sf_dir):
+    """Streaming HLL distinct-shingle count, driver-ORACLED: the
+    256-register sketch maintained as a bounded-state (≤256 rows)
+    streaming aggregation over an availableNow file stream of
+    documents (gaia_spark/streaming:streaming_hll_registers), drained
+    complete into a memory sink, then reduced to the exact-integer
+    estimate by the shared batch estimator
+    (functions/sketch.py:hll_estimate).  Register MAX-merge is
+    exactly HLL sketch union, so the streamed estimate is
+    bit-identical to the batch/DuckDB twin."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    from gaia_spark.functions.sketch import hll_estimate
+    from gaia_spark.streaming import streaming_hll_registers
+
+    src = (spark.readStream.schema(docs.schema)
+           .option("pathGlobFilter", "documents.parquet")
+           .parquet(sf_dir))
+    out = streaming_hll_registers(src)
+    ckpt = tempfile.mkdtemp(prefix="gaia_stream_hll_")
+    q = (out.writeStream.format("memory")
+         .queryName("streaming_hll_out")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .outputMode("complete")
+         .start())
+    q.awaitTermination()
+    return hll_estimate(spark.table("streaming_hll_out"))
+
+
 def web_urls(spark, sf_dir):
     """URL parse + per-registered-domain rollup over synthesized
     deterministic urls (documents carry no url column): host/TLD/path
@@ -2281,7 +2312,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow": text_winnow,
         "ann_cosine_topk": ann_cosine_topk,
         "dedup_jaccard": dedup_jaccard,
-        # oracled, driver-green in r3 (streaming pair) or earlier
+        # oracled, driver-green in r3 (streaming pair) or earlier;
+        # streaming_hll is r4-NEW (no window slot left whose entry
+        # lacks 2 green rows) — first in line for the r5 window
+        "streaming_hll": streaming_hll,
         "streaming_windows": streaming_windows,
         "streaming_sessions": streaming_sessions,
         "sample_stratified": sample_stratified,
@@ -3281,5 +3315,7 @@ GROUP BY 1, 2, 3
         walk_len=4, walks_per_node=2)
     sql["text_cms"] = _sk.sql_cms_estimates("documents", 20)
     sql["text_hll"] = _sk.sql_hll_distinct("documents")
+    sql["streaming_hll"] = (
+        f"SELECT hll_est FROM ({_sk.sql_hll_distinct('documents')})")
 
     return sql

@@ -159,3 +159,27 @@ def session_stats(
         .select(user_col, "sess_start", "n_events", "first_event",
                 "duration_us")
     )
+
+
+def streaming_hll_registers(
+    stream: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Continuous distinct-shingle counting: the 256-register HLL
+    maintained AS a streaming aggregation → (reg, m) rows.
+
+    The shingle explode is stateless; the register fold
+    ``groupBy(reg).max(m)`` is a bounded-state (≤256 rows) streaming
+    aggregate whose merge (MAX) is exactly HLL's sketch union — so
+    the registers after draining any micro-batch split equal the
+    batch sketch, and the estimate is exact-twin checkable
+    (functions/sketch.py:hll_estimate over the drained table).
+    This is the streaming face of the batch sketch: a crawl monitor
+    reads "distinct content seen so far" off 256 rows of state,
+    never re-scanning the corpus.
+    """
+    from gaia_spark.functions.sketch import _hll_shingles, hll_ranked
+
+    sh = _hll_shingles(stream, k, text_col)
+    return hll_ranked(sh, "s").groupBy("reg").agg(F.max("m").alias("m"))

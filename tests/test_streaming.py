@@ -171,3 +171,20 @@ def test_streaming_sessions_gap_boundary_semantics(spark):
     got = sorted((r["user_id"], r["n"])
                  for r in spark.table("sess_boundary_out").collect())
     assert got == [("u_eq", 2), ("u_lt", 2)]
+
+
+def test_streaming_hll_matches_batch_sketch(spark):
+    """The streamed 256-register fold equals the batch sketch: same
+    registers, same exact-integer estimate (register MAX-merge is
+    HLL union, so micro-batch splits cannot change the result)."""
+    import __spark_entry__ as entry
+    from gaia_spark.functions.sketch import (_hll_shingles, hll_estimate,
+                                             hll_ranked)
+    sf_dir = "/root/testdata/sf0.001"
+    got = [tuple(r) for r in
+           entry.streaming_hll(spark, sf_dir).collect()]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    want = [tuple(r) for r in
+            hll_estimate(hll_ranked(_hll_shingles(docs, 5, "text"),
+                                    "s")).collect()]
+    assert got == want and len(got) == 1
