@@ -1857,18 +1857,23 @@ def graph_hyperball(spark, sf_dir):
     saturate most registers, which is HyperBall's worst case and a
     poor demo of the ≤min(|ball|,256)-rows-per-node cost shape."""
     from gaia_spark.operators.graph import hyperball
+    return hyperball(_hyperball_edges(spark, sf_dir), radius=2)
+
+
+def _hyperball_edges(spark, sf_dir):
+    """The SPARSE co-purchase graph (1/16 order slice) shared by the
+    per-node-state graph demos (graph_hyperball, graph_wl)."""
     li = (_t(spark, sf_dir, "lineitem")
           .filter(F.col("l_orderkey") % 16 == 0)
           .select("l_orderkey", "l_partkey"))
     a = li.alias("a")
     b = li.select(F.col("l_orderkey"),
                   F.col("l_partkey").alias("r_partkey")).alias("b")
-    edges = (
+    return (
         a.join(b, "l_orderkey")
         .filter(F.col("l_partkey") < F.col("r_partkey"))
         .select(F.col("l_partkey").cast("string").alias("src"),
                 F.col("r_partkey").cast("string").alias("dst")))
-    return hyperball(edges, radius=2)
 
 
 def graph_wl(spark, sf_dir):
@@ -1878,9 +1883,12 @@ def graph_wl(spark, sf_dir):
     hub/leaf/bridge role clustering, isomorphism screening of
     extracted subgraphs).  md5-over-sorted-multiset relabeling is
     hash-identical to the unrolled DuckDB twin — see
-    operators/graph.py:wl_labels."""
+    operators/graph.py:wl_labels.  Runs on the 1/16 order slice
+    (same as graph_hyperball): WL's per-node cost is O(degree) label
+    bytes per round — the dense 1/4 slice is the documented hub
+    worst case, a poor per-round demo (33.9 s vs ~4 s at sf0.1)."""
     from gaia_spark.operators.graph import wl_labels
-    return wl_labels(_copurchase_edges(spark, sf_dir), rounds=2)
+    return wl_labels(_hyperball_edges(spark, sf_dir), rounds=2)
 
 
 #: the flagship KG read: urgent orders with their customer and parts
@@ -3273,7 +3281,8 @@ GROUP BY 1, 2, 3
     sql["graph_hyperball"] = sql_hyperball(
         _SQL_COPURCHASE.replace("% 4", "% 16"), radius=2)
     from gaia_spark.operators.graph import sql_wl_labels
-    sql["graph_wl"] = sql_wl_labels(_SQL_COPURCHASE, rounds=2)
+    sql["graph_wl"] = sql_wl_labels(
+        _SQL_COPURCHASE.replace("% 4", "% 16"), rounds=2)
     from gaia_spark.operators.bgp import sql_bgp_match
     sql["kg_bgp"] = sql_bgp_match(_SQL_PROFILE_TRIPLES, _BGP_PATTERN)
     from gaia_spark.functions.negsample import sql_negative_samples
