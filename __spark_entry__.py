@@ -2189,11 +2189,59 @@ def cls_perceptron(spark, sf_dir):
         _t(spark, sf_dir, "documents"), rounds=3)
 
 
+
+def graph_hits(spark, sf_dir):
+    """HITS hubs/authorities (Kleinberg, 2 iterations) over the
+    supplier→part graph — BIGINT fixed-point with per-half-round MAX
+    normalization (integer div; the textbook L2 norm is
+    float-divergent), hash-identical to the unrolled DuckDB CTE twin
+    under any partitioning — see operators/graph.py:hits."""
+    from gaia_spark.operators.graph import hits
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    edges = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+        .alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+        .alias("dst"),
+    )
+    return hits(edges, iters=2)
+
+
+def graph_linkpred(spark, sf_dir):
+    """Link prediction (KG completion candidates) over the
+    co-purchase graph: common-neighbor count + resource-allocation
+    index Σ 1/deg(center) in exact PPM fixed point; wedge centers
+    capped at deg ≤ 64, so candidate volume is O(n·64²) — never
+    quadratic in a hub (the LSH hot-bucket lesson applied at design
+    time) — see operators/graph.py:link_prediction."""
+    from gaia_spark.operators.graph import link_prediction
+    return link_prediction(_copurchase_edges(spark, sf_dir),
+                           max_degree=64, min_cn=4)
+
+
+def web_cocitation(spark, sf_dir):
+    """Co-citation (pairs of target hosts endorsed by ≥ 2 distinct
+    citing PAGES) over the synthesized outlink stream — link-farm
+    sources (out-degree > 64) dropped BEFORE the pair join, so the
+    wedge volume stays linear in sources — see
+    operators/graph.py:cocitation."""
+    from gaia_spark.functions import web
+    from gaia_spark.operators.graph import cocitation
+    d = (_t(spark, sf_dir, "documents")
+         .withColumn("url", web.synth_url(F.col("doc_id"),
+                                          F.col("source")))
+         .withColumn("html", web.synth_html(F.col("doc_id"),
+                                            F.col("source"),
+                                            F.col("text"))))
+    e = web.outlink_edges_by_url(web.with_url_parts(d))
+    return cocitation(e, max_out=64, min_count=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry, ORDER MATTERS: the driver's correctness artifact
     records only the FIRST 50 entries in dict order (observed
     empirically: CORRECTNESS_r01/r02/r03 each captured exactly
-    registry positions 1-50).  The registry has 118 entries (110 with
+    registry positions 1-50).  The registry has 121 entries (113 with
     exact DuckDB twins in oracle_sql()), so the prefix is ROTATED per
     round to maximize cumulative driver evidence:
 
@@ -2372,6 +2420,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_self_join_pairs": rel_self_join_pairs,
         "rel_window_running_sum": rel_window_running_sum,
         "rel_rollup": rel_rollup,
+        # r4-late additions (oracled; r5 rotation candidates)
+        "graph_hits": graph_hits,
+        "graph_linkpred": graph_linkpred,
+        "web_cocitation": web_cocitation,
         # non-SQL-expressible (strongest oracles in pytest: numpy
         # cross-impl / recall bounds / gaia_ref exact-set; kg_* rows
         # were driver-recorded as rows-only in r1)
@@ -3326,5 +3378,21 @@ GROUP BY 1, 2, 3
     sql["text_hll"] = _sk.sql_hll_distinct("documents")
     sql["streaming_hll"] = (
         f"SELECT hll_est FROM ({_sk.sql_hll_distinct('documents')})")
+
+    from gaia_spark.operators.graph import (
+        sql_cocitation as _sql_cocit,
+        sql_hits as _sql_hits,
+        sql_link_prediction as _sql_lp,
+    )
+    sql["graph_hits"] = _sql_hits(
+        "SELECT 's' || l_suppkey AS src, 'p' || l_partkey AS dst "
+        "FROM lineitem WHERE l_orderkey < 2000", iters=2)
+    sql["graph_linkpred"] = _sql_lp(_SQL_COPURCHASE,
+                                    max_degree=64, min_cn=4)
+    sql["web_cocitation"] = _sql_cocit(
+        _web.sql_outlink_edges_by_url(
+            f"SELECT {_web.sql_synth_url()} AS url, "
+            f"{_web.sql_synth_html()} AS html FROM documents"),
+        max_out=64, min_count=2)
 
     return sql

@@ -233,6 +233,61 @@ GROUP BY src_host, dst_host
 """
 
 
+def sql_outlink_edges(pages: str) -> str:
+    """DuckDB twin of :func:`extract_outlinks` over a ``(url, html)``
+    relation: the raw (src, dst) host edge stream that
+    host_link_graph aggregates and cocitation consumes."""
+    return f"""
+SELECT src_host AS src, dst_host AS dst FROM (
+  SELECT src_host,
+         lower(regexp_extract(link, '{HOST_RE}', 1)) AS dst_host
+  FROM (
+    SELECT lower(regexp_extract(url, '{HOST_RE}', 1)) AS src_host,
+           unnest(regexp_extract_all(html, '{ANCHOR_RE}', 1)) AS link
+    FROM ({pages})
+  )
+) WHERE dst_host <> src_host
+"""
+
+
+def outlink_edges_by_url(df: DataFrame, html_col: str = "html",
+                         url_col: str = "url",
+                         host_col: str = "host") -> DataFrame:
+    """(src=url, dst=dst_host) citation stream — the PAGE-level
+    variant of :func:`extract_outlinks` (host-level collapse loses
+    which page did the citing; co-citation needs the page).  Same
+    narrow JVM shape: regexp + explode in-row, html never shuffles,
+    self-host links dropped."""
+    links = df.select(
+        F.col(url_col).alias("src"),
+        F.col(host_col).alias("src_host"),
+        F.explode(F.regexp_extract_all(
+            F.col(html_col), F.lit(ANCHOR_RE), F.lit(1))).alias("link"),
+    )
+    return (
+        links.withColumn(
+            "dst", F.lower(F.regexp_extract("link", HOST_RE, 1)))
+        .filter(F.col("dst") != F.col("src_host"))
+        .select("src", "dst")
+    )
+
+
+def sql_outlink_edges_by_url(pages: str) -> str:
+    """DuckDB twin of :func:`outlink_edges_by_url`."""
+    return f"""
+SELECT src, dst FROM (
+  SELECT url AS src,
+         lower(regexp_extract(url, '{HOST_RE}', 1)) AS src_host,
+         lower(regexp_extract(link, '{HOST_RE}', 1)) AS dst
+  FROM (
+    SELECT url,
+           unnest(regexp_extract_all(html, '{ANCHOR_RE}', 1)) AS link
+    FROM ({pages})
+  )
+) WHERE dst <> src_host
+"""
+
+
 # ---------------------------------------------------------------------------
 # URL canonicalization (dedup key for crawl frontiers / url-level dedup)
 # ---------------------------------------------------------------------------

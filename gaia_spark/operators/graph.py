@@ -1283,3 +1283,246 @@ def sql_wl_labels(edges_sql: str, rounds: int = 2) -> str:
         )
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT node, wl_label FROM w{rounds}")
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (Kleinberg) — the classic companion to PageRank
+# for web link graphs (reference KG context: domain-authority signal the
+# curation side inputs consume, same consumer as functions/web.py
+# host_link_graph; SURVEY §2.4 iterative-graph row)
+# ---------------------------------------------------------------------------
+
+
+def hits(edges: DataFrame, iters: int = 2) -> DataFrame:
+    """HITS over directed ``edges(src, dst)``, K fixed iterations.
+
+    Same exactness contract as :func:`pagerank`: all arithmetic is
+    BIGINT fixed-point so every engine and partitioning yields the
+    same bits.  Each half-round max-normalizes (``v * PPM div
+    max(v)``) instead of the textbook L2 norm — sqrt is float and
+    engine-divergent; max-normalization keeps the ranking and the
+    [0, PPM] range with pure integer ops, and is what makes the
+    unrolled DuckDB CTE twin hash-identical.
+
+    Overflow seam (documented, same class as pagerank's): a node's
+    raw score is ≤ indeg_max × PPM ≤ 2^63/PPM ⇒ safe for
+    indeg_max < ~9×10^6.  Host-level web graphs sit well under that;
+    page-level inlink mega-hubs need a pre-divide (not implemented —
+    raise at the call site by capping, as cocitation/link_prediction
+    do).
+
+    Scale shape: per half-round one edge⋈score join + one node-keyed
+    map-side-combined sum + a ONE-ROW max aggregate broadcast back —
+    the Pregel pattern, lineage truncated per round.  On a cluster
+    the edge table should be bucketed by the join key; both
+    orientations reuse the same distinct edge checkpoint.
+    """
+    e = edges.select("src", "dst").distinct().localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    hub = nodes.withColumn("hub_ppm", F.lit(PPM).cast("bigint"))
+    auth = None
+    for _ in range(iters):
+        araw = (
+            e.join(hub, e.src == hub.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub_ppm").alias("raw"))
+        )
+        amax = araw.agg(F.greatest(F.max("raw"), F.lit(1))
+                        .cast("bigint").alias("mx"))
+        auth = (
+            nodes.join(araw, "node", "left")
+            .crossJoin(F.broadcast(amax))
+            .select("node",
+                    F.expr(f"(coalesce(raw, 0) * {PPM}) div mx")
+                    .alias("auth_ppm"))
+            .localCheckpoint()
+        )
+        hraw = (
+            e.join(auth, e.dst == auth.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth_ppm").alias("raw"))
+        )
+        hmax = hraw.agg(F.greatest(F.max("raw"), F.lit(1))
+                        .cast("bigint").alias("mx"))
+        hub = (
+            nodes.join(hraw, "node", "left")
+            .crossJoin(F.broadcast(hmax))
+            .select("node",
+                    F.expr(f"(coalesce(raw, 0) * {PPM}) div mx")
+                    .alias("hub_ppm"))
+            .localCheckpoint()
+        )
+    return hub.join(auth, "node").select("node", "hub_ppm", "auth_ppm")
+
+
+def sql_hits(edges_sql: str, iters: int = 2) -> str:
+    """DuckDB twin: the same K iterations unrolled, max-normalized
+    with scalar subqueries (integer ``//`` ≡ Spark ``div`` on the
+    non-negative domain)."""
+    ctes = [
+        f"edges AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        "nodes AS (SELECT src AS node FROM edges "
+        "UNION SELECT dst FROM edges)",
+        f"h0 AS (SELECT node, {PPM}::BIGINT AS hub_ppm FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"ar{i} AS (SELECT e.dst AS node, "
+            f"sum(h.hub_ppm)::BIGINT AS raw "
+            f"FROM edges e JOIN h{i-1} h ON e.src = h.node "
+            f"GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"a{i} AS (SELECT n.node, (coalesce(r.raw, 0) * {PPM} // "
+            f"greatest((SELECT max(raw) FROM ar{i}), 1))::BIGINT "
+            f"AS auth_ppm FROM nodes n LEFT JOIN ar{i} r USING (node))"
+        )
+        ctes.append(
+            f"hr{i} AS (SELECT e.src AS node, "
+            f"sum(a.auth_ppm)::BIGINT AS raw "
+            f"FROM edges e JOIN a{i} a ON e.dst = a.node "
+            f"GROUP BY e.src)"
+        )
+        ctes.append(
+            f"h{i} AS (SELECT n.node, (coalesce(r.raw, 0) * {PPM} // "
+            f"greatest((SELECT max(raw) FROM hr{i}), 1))::BIGINT "
+            f"AS hub_ppm FROM nodes n LEFT JOIN hr{i} r USING (node))"
+        )
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT h.node, h.hub_ppm, a.auth_ppm "
+            f"FROM h{iters} h JOIN a{iters} a USING (node)")
+
+
+# ---------------------------------------------------------------------------
+# Link prediction: common-neighbors + resource-allocation index — KG
+# completion candidates (which missing edges does the constructed graph
+# most strongly imply?), the standard follow-on to entity linking
+# ---------------------------------------------------------------------------
+
+
+def link_prediction(edges: DataFrame, max_degree: int = 64,
+                    min_cn: int = 2) -> DataFrame:
+    """Non-adjacent pair scores over the undirected simple graph:
+    ``cn`` = common-neighbor count, ``ra_ppm`` = resource-allocation
+    index Σ_z 1/deg(z) in exact PPM fixed point (``PPM div deg`` per
+    wedge center — integer, so the DuckDB twin is hash-identical;
+    Adamic–Adar's 1/log deg is float-divergent and deliberately not
+    offered).
+
+    Hub guard (the scale contract): only wedge CENTERS with
+    deg ≤ max_degree generate candidate pairs, so per-center work is
+    ≤ max_degree² and total wedge volume is O(n·max_degree²) — never
+    quadratic in a hub's degree.  This is also the semantics you
+    want: a mega-hub (stopword entity, boilerplate page) predicts
+    nothing — RA already discounts it to ~0, the cap just refuses to
+    MATERIALIZE the ~0 rows.  Existing edges are removed by a
+    broadcast-eligible left-anti join on the pair key.
+
+    Scale shape: degree agg (map-side combine) → wedge self-join of
+    the capped adjacency keyed by center → pair-keyed agg → anti
+    join.  Every shuffle is keyed; the html/text never appears.
+    """
+    und = _undirected(edges).localCheckpoint()
+    booth = (
+        und.select(F.col("a").alias("z"), F.col("b").alias("n"))
+        .unionByName(und.select(F.col("b").alias("z"),
+                                F.col("a").alias("n")))
+    )
+    deg = booth.groupBy("z").agg(F.count(F.lit(1)).alias("deg"))
+    adj = (booth.join(deg, "z")
+           .filter(F.col("deg") <= max_degree))
+    left = adj.select("z", F.col("n").alias("x"), "deg")
+    right = adj.select("z", F.col("n").alias("y"))
+    pairs = (
+        left.join(right, "z")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy(F.col("x").alias("a"), F.col("y").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cn"),
+             F.sum(F.expr(f"{PPM} div deg")).alias("ra_ppm"))
+        .filter(F.col("cn") >= min_cn)
+    )
+    return pairs.join(und, ["a", "b"], "left_anti")
+
+
+def sql_link_prediction(edges_sql: str, max_degree: int = 64,
+                        min_cn: int = 2) -> str:
+    """DuckDB twin of :func:`link_prediction`."""
+    return f"""
+WITH und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM ({edges_sql}) WHERE src <> dst
+), booth AS (
+  SELECT a AS z, b AS n FROM und UNION ALL SELECT b, a FROM und
+), deg AS (
+  SELECT z, count(*)::BIGINT AS deg FROM booth GROUP BY z
+), adj AS (
+  SELECT b.z, b.n, d.deg FROM booth b JOIN deg d USING (z)
+  WHERE d.deg <= {max_degree}
+), pairs AS (
+  SELECT l.n AS a, r.n AS b, count(*)::BIGINT AS cn,
+         sum({PPM} // l.deg)::BIGINT AS ra_ppm
+  FROM adj l JOIN adj r ON l.z = r.z AND l.n < r.n
+  GROUP BY l.n, r.n
+)
+SELECT p.a, p.b, p.cn, p.ra_ppm FROM pairs p
+LEFT JOIN und u ON p.a = u.a AND p.b = u.b
+WHERE u.a IS NULL AND p.cn >= {min_cn}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Co-citation over a directed citation/link stream — "pages endorsed by
+# the same citers" (the web-graph similarity HITS implicitly factors;
+# also the dual of the co-purchase projection used by the graph_* suite)
+# ---------------------------------------------------------------------------
+
+
+def cocitation(edges: DataFrame, max_out: int = 64,
+               min_count: int = 2) -> DataFrame:
+    """Pairs of targets cited by ≥ min_count distinct sources, over
+    directed ``edges(src, dst)``.
+
+    Hub guard: sources with out-degree > max_out are dropped BEFORE
+    the pair join (a link-farm page citing 10^5 targets would emit
+    ~10^10/2 pairs; its endorsements carry no signal — the standard
+    co-citation discount taken to its cap).  Per-source work is then
+    ≤ max_out², total O(n_src·max_out²).
+
+    Scale shape: distinct edge set → out-degree agg (map-side
+    combine) → per-source pair self-join → (d1, d2)-keyed count.
+    Keys only; one row per surviving pair.
+    """
+    e = edges.select("src", "dst").distinct().localCheckpoint()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    kept = e.join(outdeg.filter(F.col("outdeg") <= max_out), "src")
+    l = kept.select("src", F.col("dst").alias("d1"))
+    r = kept.select("src", F.col("dst").alias("d2"))
+    return (
+        l.join(r, "src")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_citers"))
+        .filter(F.col("n_citers") >= min_count)
+    )
+
+
+def sql_cocitation(edges_sql: str, max_out: int = 64,
+                   min_count: int = 2) -> str:
+    """DuckDB twin of :func:`cocitation`."""
+    return f"""
+WITH e AS (
+  SELECT DISTINCT src, dst FROM ({edges_sql})
+), kept AS (
+  SELECT e.src, e.dst FROM e JOIN (
+    SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY src
+  ) o ON e.src = o.src AND o.outdeg <= {max_out}
+)
+SELECT l.dst AS d1, r.dst AS d2, count(*)::BIGINT AS n_citers
+FROM kept l JOIN kept r ON l.src = r.src AND l.dst < r.dst
+GROUP BY l.dst, r.dst
+HAVING count(*) >= {min_count}
+"""
