@@ -2237,11 +2237,37 @@ def web_cocitation(spark, sf_dir):
     return cocitation(e, max_out=64, min_count=2)
 
 
+
+#: RDFS schema for the profile-triple spine: (pred, domain, range);
+#: None = no constraint on that side (literal-valued 'priority').
+#: Shared verbatim with the DuckDB twin.
+_RDFS_SCHEMA = [
+    ("ordered_by", "Order", "Customer"),
+    ("priority", "Order", None),
+    ("contains", "Order", "Part"),
+]
+
+
+def kg_rdfs_infer(spark, sf_dir):
+    """RDFS domain/range type inference (rdfs2/rdfs3) over the
+    profile-triple spine: entailed (node, type) pairs with evidence
+    counts — how a constructed KG populates entity types beyond the
+    tagger's direct assertions.  The vocabulary-sized schema
+    broadcasts onto both rule applications; the only shuffle is the
+    (node, type)-keyed map-side-combined count — see
+    operators/cleankb.py:rdfs_infer."""
+    from gaia_spark.operators.cleankb import rdfs_infer
+    schema = spark.createDataFrame(
+        _RDFS_SCHEMA,
+        "pred string, domain_type string, range_type string")
+    return rdfs_infer(_profile_triples(spark, sf_dir), schema)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry, ORDER MATTERS: the driver's correctness artifact
     records only the FIRST 50 entries in dict order (observed
     empirically: CORRECTNESS_r01/r02/r03 each captured exactly
-    registry positions 1-50).  The registry has 121 entries (113 with
+    registry positions 1-50).  The registry has 122 entries (114 with
     exact DuckDB twins in oracle_sql()), so the prefix is ROTATED per
     round to maximize cumulative driver evidence:
 
@@ -2424,6 +2450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hits": graph_hits,
         "graph_linkpred": graph_linkpred,
         "web_cocitation": web_cocitation,
+        "kg_rdfs_infer": kg_rdfs_infer,
         # non-SQL-expressible (strongest oracles in pytest: numpy
         # cross-impl / recall bounds / gaia_ref exact-set; kg_* rows
         # were driver-recorded as rows-only in r1)
@@ -3389,6 +3416,9 @@ GROUP BY 1, 2, 3
         "FROM lineitem WHERE l_orderkey < 2000", iters=2)
     sql["graph_linkpred"] = _sql_lp(_SQL_COPURCHASE,
                                     max_degree=64, min_cn=4)
+    from gaia_spark.operators.cleankb import sql_rdfs_infer
+    sql["kg_rdfs_infer"] = sql_rdfs_infer(
+        _SQL_PROFILE_TRIPLES, _RDFS_SCHEMA)
     sql["web_cocitation"] = _sql_cocit(
         _web.sql_outlink_edges_by_url(
             f"SELECT {_web.sql_synth_url()} AS url, "
