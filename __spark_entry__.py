@@ -2263,11 +2263,44 @@ def kg_rdfs_infer(spark, sf_dir):
     return rdfs_infer(_profile_triples(spark, sf_dir), schema)
 
 
+
+def graph_harmonic(spark, sf_dir):
+    """HyperBall harmonic centrality — the metric Boldi & Vigna built
+    HyperBall for: per node Σ_r (|B(v,r)|−|B(v,r−1)|)/r in exact
+    BIGINT PPM fixed-point over the shared HLL register kernel, so
+    the iterative estimate hash-matches the unrolled DuckDB twin.
+    Same 1/16 sparse slice rationale as graph_hyperball — see
+    operators/graph.py:harmonic_centrality."""
+    from gaia_spark.operators.graph import harmonic_centrality
+    return harmonic_centrality(_hyperball_edges(spark, sf_dir),
+                               radius=2)
+
+
+def web_reciprocity(spark, sf_dir):
+    """Host-link reciprocity (the link-exchange/spam health metric):
+    one exact-integer row (n_edges, n_reciprocated, reciprocity_x10k)
+    over the synthesized host link graph — one distinct + one
+    left-semi self-join against the reversal, keys only — see
+    operators/graph.py:reciprocity."""
+    from gaia_spark.functions import web
+    from gaia_spark.operators.graph import reciprocity
+    d = (_t(spark, sf_dir, "documents")
+         .withColumn("url", web.synth_url(F.col("doc_id"),
+                                          F.col("source")))
+         .withColumn("html", web.synth_html(F.col("doc_id"),
+                                            F.col("source"),
+                                            F.col("text"))))
+    e = web.extract_outlinks(web.with_url_parts(d))
+    return reciprocity(
+        e.select(F.col("src_host").alias("src"),
+                 F.col("dst_host").alias("dst")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry, ORDER MATTERS: the driver's correctness artifact
     records only the FIRST 50 entries in dict order (observed
     empirically: CORRECTNESS_r01/r02/r03 each captured exactly
-    registry positions 1-50).  The registry has 122 entries (114 with
+    registry positions 1-50).  The registry has 124 entries (116 with
     exact DuckDB twins in oracle_sql()), so the prefix is ROTATED per
     round to maximize cumulative driver evidence:
 
@@ -2451,6 +2484,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_linkpred": graph_linkpred,
         "web_cocitation": web_cocitation,
         "kg_rdfs_infer": kg_rdfs_infer,
+        "graph_harmonic": graph_harmonic,
+        "web_reciprocity": web_reciprocity,
         # non-SQL-expressible (strongest oracles in pytest: numpy
         # cross-impl / recall bounds / gaia_ref exact-set; kg_* rows
         # were driver-recorded as rows-only in r1)
@@ -3416,6 +3451,16 @@ GROUP BY 1, 2, 3
         "FROM lineitem WHERE l_orderkey < 2000", iters=2)
     sql["graph_linkpred"] = _sql_lp(_SQL_COPURCHASE,
                                     max_degree=64, min_cn=4)
+    from gaia_spark.operators.graph import (
+        sql_harmonic_centrality as _sql_harm,
+        sql_reciprocity as _sql_recip,
+    )
+    sql["graph_harmonic"] = _sql_harm(
+        _SQL_COPURCHASE.replace("% 4", "% 16"), radius=2)
+    sql["web_reciprocity"] = _sql_recip(
+        _web.sql_outlink_edges(
+            f"SELECT {_web.sql_synth_url()} AS url, "
+            f"{_web.sql_synth_html()} AS html FROM documents"))
     from gaia_spark.operators.cleankb import sql_rdfs_infer
     sql["kg_rdfs_infer"] = sql_rdfs_infer(
         _SQL_PROFILE_TRIPLES, _RDFS_SCHEMA)

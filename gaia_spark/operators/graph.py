@@ -1526,3 +1526,145 @@ FROM kept l JOIN kept r ON l.src = r.src AND l.dst < r.dst
 GROUP BY l.dst, r.dst
 HAVING count(*) >= {min_count}
 """
+
+
+def harmonic_centrality(edges: DataFrame, radius: int = 3) -> DataFrame:
+    """HyperBall harmonic centrality (Boldi & Vigna 2013 — the metric
+    HyperBall was built to compute at web scale): per node,
+    ``H(v) ≈ Σ_{r=1..R} (|B(v,r)| − |B(v,r−1)|) / r`` over the
+    undirected simple graph, all arithmetic exact BIGINT PPM
+    fixed-point over the shared HLL register kernel
+    (functions/sketch.py) so the result is hash-identical across
+    engines and partitionings.
+
+    Per-radius deltas are clamped at 0 before the ``× PPM div r``
+    weighting: register merges are monotone, but the estimator's
+    linear-counting↔raw branch flip can wobble an estimate down by a
+    few counts, and negative integer division is the one place Spark
+    ``div`` (truncate) and DuckDB ``//`` (floor) disagree — the clamp
+    removes both the wobble and the divergence surface.
+
+    Scale shape: identical to :func:`hyperball` (per round ONE
+    edges⋈registers join + ONE (node, reg) max-combine, O(E·m̄) with
+    m̄ ≤ 256), plus R+1 vocabulary-thin (node, est) frames joined on
+    node at the end — each a map-side-combined agg output, broadcast-
+    eligible relative to the register table.
+    """
+    from gaia_spark.functions.sketch import hll_estimate, hll_ranked
+
+    und = _undirected(edges)
+    both = (
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(
+            und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint()
+    )
+    nodes = both.select(F.col("src").alias("node")).distinct()
+    regs = hll_ranked(nodes, "node", ["node"]).localCheckpoint()
+    ests = [hll_estimate(regs, ["node"], out_col="b0")]
+    for r in range(1, radius + 1):
+        nb = (
+            both.alias("e")
+            .join(regs.alias("r"), F.col("e.dst") == F.col("r.node"))
+            .select(F.col("e.src").alias("node"),
+                    F.col("r.reg").alias("reg"), F.col("r.m").alias("m"))
+        )
+        regs = (
+            regs.unionByName(nb)
+            .groupBy("node", "reg").agg(F.max("m").alias("m"))
+            .localCheckpoint()
+        )
+        ests.append(hll_estimate(regs, ["node"], out_col=f"b{r}"))
+    joined = ests[0]
+    for est in ests[1:]:
+        joined = joined.join(est, "node")
+    terms = [f"(greatest(b{r} - b{r-1}, 0) * {PPM}) div {r}"
+             for r in range(1, radius + 1)]
+    return joined.select(
+        "node", F.expr(" + ".join(terms)).cast("bigint")
+        .alias("harmonic_ppm"))
+
+
+def sql_harmonic_centrality(edges_sql: str, radius: int = 3) -> str:
+    """DuckDB twin of :func:`harmonic_centrality`: hyperball's
+    register rounds plus one estimate CTE per radius, joined on node
+    with the identical clamped integer weighting."""
+    from gaia_spark.functions.sketch import (sql_hll_estimate,
+                                             sql_hll_ranked)
+
+    ctes = [
+        f"und AS (SELECT DISTINCT least(src, dst) AS a, "
+        f"greatest(src, dst) AS b FROM ({edges_sql}) WHERE src <> dst)",
+        "booth AS (SELECT a AS src, b AS dst FROM und "
+        "UNION ALL SELECT b, a FROM und)",
+        "vertices AS (SELECT DISTINCT src AS node FROM booth)",
+        f"h0 AS ({sql_hll_ranked('vertices', 'node', 'node, ')})",
+        f"e0 AS ({sql_hll_estimate('h0', 'node, ', out_col='b0')})",
+    ]
+    for i in range(1, radius + 1):
+        ctes.append(
+            f"h{i} AS (SELECT node, reg, max(m) AS m FROM ("
+            f"SELECT node, reg, m FROM h{i-1} "
+            f"UNION ALL "
+            f"SELECT b.src AS node, r.reg, r.m FROM booth b "
+            f"JOIN h{i-1} r ON r.node = b.dst"
+            f") GROUP BY node, reg)"
+        )
+        ctes.append(
+            f"e{i} AS ({sql_hll_estimate(f'h{i}', 'node, ', out_col=f'b{i}')})")
+    terms = " + ".join(
+        f"(greatest(e{r}.b{r} - e{r-1}.b{r-1}, 0) * {PPM}) // {r}"
+        for r in range(1, radius + 1))
+    joins = " ".join(f"JOIN e{r} USING (node)"
+                     for r in range(1, radius + 1))
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, ({terms})::BIGINT AS harmonic_ppm "
+            f"FROM e0 {joins}")
+
+
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """Directed-graph reciprocity: ONE row
+    ``(n_edges, n_reciprocated, reciprocity_x10k)`` over the distinct
+    self-loop-free edge set.
+
+    The classic web-spam / link-exchange signal: organic host graphs
+    reciprocate a small fraction of links; link farms reciprocate
+    most of them.  Exact integers throughout (x10k ratio via integer
+    div), so the twin hash-matches.
+
+    Scale shape: one distinct (keyed, map-side-combined), one
+    self-equi-join of the edge set against its own reversal on the
+    full (src, dst) key (left-semi — nothing wider than the two key
+    strings travels), one COUNT fold to a single row.
+    """
+    e = (edges.select("src", "dst")
+         .filter(F.col("src") != F.col("dst"))
+         .distinct().localCheckpoint())
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    rec = e.join(rev, ["src", "dst"], "left_semi")
+    return (
+        e.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(rec.agg(F.count(F.lit(1)).alias("n_reciprocated")))
+        .select(
+            "n_edges", "n_reciprocated",
+            F.expr("(n_reciprocated * 10000) div n_edges")
+            .alias("reciprocity_x10k"))
+    )
+
+
+def sql_reciprocity(edges_sql: str) -> str:
+    """DuckDB twin of :func:`reciprocity`."""
+    return f"""
+WITH e AS (
+  SELECT DISTINCT src, dst FROM ({edges_sql}) WHERE src <> dst
+), rec AS (
+  SELECT count(*)::BIGINT AS n_reciprocated
+  FROM e WHERE EXISTS (SELECT 1 FROM e r
+                       WHERE r.src = e.dst AND r.dst = e.src)
+)
+SELECT (SELECT count(*)::BIGINT FROM e) AS n_edges,
+       n_reciprocated,
+       ((n_reciprocated * 10000) //
+        (SELECT count(*) FROM e))::BIGINT AS reciprocity_x10k
+FROM rec
+"""
