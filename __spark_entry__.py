@@ -2296,11 +2296,28 @@ def web_reciprocity(spark, sf_dir):
                  F.col("dst_host").alias("dst")))
 
 
+
+def dedup_containment(spark, sf_dir):
+    """Asymmetric containment detection (quote-inclusion /
+    aggregator pages — the partial-dup class Jaccard misses) over
+    documents ∪ planted 200-char truncations: directed
+    (inner, outer, cont_x10k ≥ 8000) pairs, pure integer division,
+    df > 64 stop-tokens dropped from the index BEFORE the pair join
+    (the hub guard) — see functions/dedup.py:containment_pairs."""
+    d = (_t(spark, sf_dir, "documents").select("doc_id", "text")
+         .filter(F.col("doc_id") < 400))
+    trunc = (d.filter(F.col("doc_id") % 5 == 0)
+             .select((F.col("doc_id") + 10_000_000).alias("doc_id"),
+                     F.substring("text", 1, 200).alias("text")))
+    return dd.containment_pairs(d.unionByName(trunc), min_x10k=8000,
+                                max_df=64)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry, ORDER MATTERS: the driver's correctness artifact
     records only the FIRST 50 entries in dict order (observed
     empirically: CORRECTNESS_r01/r02/r03 each captured exactly
-    registry positions 1-50).  The registry has 124 entries (116 with
+    registry positions 1-50).  The registry has 125 entries (117 with
     exact DuckDB twins in oracle_sql()), so the prefix is ROTATED per
     round to maximize cumulative driver evidence:
 
@@ -2486,6 +2503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rdfs_infer": kg_rdfs_infer,
         "graph_harmonic": graph_harmonic,
         "web_reciprocity": web_reciprocity,
+        "dedup_containment": dedup_containment,
         # non-SQL-expressible (strongest oracles in pytest: numpy
         # cross-impl / recall bounds / gaia_ref exact-set; kg_* rows
         # were driver-recorded as rows-only in r1)
@@ -3461,6 +3479,12 @@ GROUP BY 1, 2, 3
         _web.sql_outlink_edges(
             f"SELECT {_web.sql_synth_url()} AS url, "
             f"{_web.sql_synth_html()} AS html FROM documents"))
+    sql["dedup_containment"] = dd.sql_containment_pairs(
+        "(SELECT doc_id, text FROM documents WHERE doc_id < 400 "
+        "UNION ALL "
+        "SELECT doc_id + 10000000, substr(text, 1, 200) "
+        "FROM documents WHERE doc_id < 400 AND doc_id % 5 = 0)",
+        min_x10k=8000, max_df=64)
     from gaia_spark.operators.cleankb import sql_rdfs_infer
     sql["kg_rdfs_infer"] = sql_rdfs_infer(
         _SQL_PROFILE_TRIPLES, _RDFS_SCHEMA)

@@ -159,6 +159,92 @@ WHERE floor({SCALE} * inter::DOUBLE / (sa.sz + sb.sz - inter))
 """
 
 
+def containment_pairs(df: DataFrame, min_x10k: int = 8000,
+                      max_df: int = 64, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Asymmetric token-set containment ``C(inner ⊂ outer) =
+    |A∩B| / |A|`` — the quote-inclusion / aggregator-page detector
+    Jaccard misses: a 50-word post fully quoted inside a 5000-word
+    roundup scores J ≈ 0.01 but containment 1.0.  Directed output
+    ``(inner_id, outer_id, cont_x10k)`` for pairs where the INNER
+    document's token set sits ≥ min_x10k/10⁴ inside the OUTER's;
+    ``cont_x10k`` is pure integer division (``(10⁴·|A∩B|) div |A|``),
+    hash-identical cross-engine with no float anywhere.
+
+    Hub guard (the scale contract, same family as lsh_candidates'
+    precollapse and link_prediction's degree cap): tokens with
+    document frequency > max_df are dropped from the index BEFORE the
+    pair join — a stopword appearing in 10⁷ docs would emit 10¹⁴/2
+    candidate rows and carries no containment signal.  Sizes and
+    intersections are computed over the SAME surviving vocabulary, so
+    the ratio is internally consistent (standard stop-shingle
+    removal; documents whose every token is df-capped drop out —
+    boilerplate-only docs, by construction the right outcome).
+
+    Scale shape: df count (map-side-combined, key = token), broadcast-
+    eligible capped-vocabulary filter, inverted-index self-join keyed
+    by token with per-token fan-out ≤ max_df², pair-keyed count, two
+    vocabulary-thin size joins.  Text never travels; ids and tokens
+    only.
+    """
+    postings = token_set(df, text_col, id_col)
+    dfc = postings.groupBy("tok").agg(F.count("*").alias("tok_df"))
+    kept = (postings.join(dfc.filter(F.col("tok_df") <= max_df), "tok")
+            .select("doc_id", "tok").localCheckpoint())
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = kept.alias("a")
+    b = kept.alias("b")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("inner_id"),
+                 F.col("b.doc_id").alias("outer_id"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("inner_id"),
+                      F.col("sz").alias("sz_inner"))
+    return (
+        inter.join(sa, "inner_id")
+        .withColumn("cont_x10k",
+                    F.expr(f"({SCALE} * inter) div sz_inner"))
+        .filter(F.col("cont_x10k") >= min_x10k)
+        .select("inner_id", "outer_id", "cont_x10k")
+    )
+
+
+def sql_containment_pairs(rel: str, min_x10k: int = 8000,
+                          max_df: int = 64, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          where: str = "TRUE") -> str:
+    """DuckDB twin of :func:`containment_pairs`."""
+    return f"""
+WITH postings AS (
+  SELECT DISTINCT {id_col} AS doc_id, tok
+  FROM (
+    SELECT {id_col}, unnest(string_split_regex(lower({text_col}), '\\s+'))
+           AS tok
+    FROM {rel} WHERE {where}
+  ) WHERE tok <> ''
+), kept AS (
+  SELECT p.doc_id, p.tok FROM postings p JOIN (
+    SELECT tok, count(*) AS tok_df FROM postings GROUP BY tok
+  ) d ON p.tok = d.tok AND d.tok_df <= {max_df}
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS inner_id, b.doc_id AS outer_id,
+         count(*) AS inter
+  FROM kept a JOIN kept b USING (tok)
+  WHERE a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT inner_id, outer_id,
+       (({SCALE} * inter) // s.sz)::BIGINT AS cont_x10k
+FROM inter JOIN sizes s ON s.doc_id = inner_id
+WHERE ({SCALE} * inter) // s.sz >= {min_x10k}
+"""
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
