@@ -2313,11 +2313,22 @@ def dedup_containment(spark, sf_dir):
                                 max_df=64)
 
 
+
+def text_readability(spark, sf_dir):
+    """Flesch reading-ease per document in exact integer fixed-point
+    (both ratio terms floor-divided BIGINTs — no float anywhere) with
+    vowel-group syllable counts: the readability axis of quality
+    filtering.  Pure in-row codegen, zero exchanges — see
+    functions/text_analysis.py:readability_stats."""
+    from gaia_spark.functions.text_analysis import readability_stats
+    return readability_stats(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry, ORDER MATTERS: the driver's correctness artifact
     records only the FIRST 50 entries in dict order (observed
     empirically: CORRECTNESS_r01/r02/r03 each captured exactly
-    registry positions 1-50).  The registry has 125 entries (117 with
+    registry positions 1-50).  The registry has 126 entries (118 with
     exact DuckDB twins in oracle_sql()), so the prefix is ROTATED per
     round to maximize cumulative driver evidence:
 
@@ -2504,6 +2515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_harmonic": graph_harmonic,
         "web_reciprocity": web_reciprocity,
         "dedup_containment": dedup_containment,
+        "text_readability": text_readability,
         # non-SQL-expressible (strongest oracles in pytest: numpy
         # cross-impl / recall bounds / gaia_ref exact-set; kg_* rows
         # were driver-recorded as rows-only in r1)
@@ -3485,6 +3497,10 @@ GROUP BY 1, 2, 3
         "SELECT doc_id + 10000000, substr(text, 1, 200) "
         "FROM documents WHERE doc_id < 400 AND doc_id % 5 = 0)",
         min_x10k=8000, max_df=64)
+    from gaia_spark.functions.text_analysis import (
+        sql_readability_stats as _sql_read,
+    )
+    sql["text_readability"] = _sql_read("documents")
     from gaia_spark.operators.cleankb import sql_rdfs_infer
     sql["kg_rdfs_infer"] = sql_rdfs_infer(
         _SQL_PROFILE_TRIPLES, _RDFS_SCHEMA)

@@ -576,3 +576,88 @@ FROM tv a JOIN tv b ON a.doc = b.doc AND a.token < b.token, nd
 GROUP BY a.token, b.token, a.df, b.df
 HAVING count(*) >= {min_pairs}
 """
+
+
+def readability_stats(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Flesch reading-ease per document, exact integer fixed-point:
+    ``flesch_x1000 = 206835 − (1015·W) div S − (84600·Sy) div W``
+    (the classic formula ×1000 with BOTH ratio terms floor-divided —
+    pure BIGINT, hash-identical cross-engine where the float formula
+    would diverge in the last ulp).
+
+    The readability axis of quality filtering (with_quality covers
+    length/punct/stopwords; Gopher repetition covers duplication):
+    very low scores flag machine-generated/legalese sludge, implausibly
+    high ones flag word-salad.  Syllables use the standard vowel-group
+    heuristic ``max(1, count of [aeiouy]+ runs)`` per word — not
+    linguistically perfect, deterministically identical in both
+    engines, which is the contract (the lm.py centibit posture).
+
+    Sentences = non-empty ``[.!?]+``-delimited segments (min 1 so a
+    fragment without terminal punctuation is one sentence, and the
+    division is total).
+
+    Scale shape: everything is in-row whole-stage-codegen (split /
+    transform / aggregate) — a narrow projection, zero exchanges,
+    zero UDFs; the scan reads only (id, text).
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda t: t != "")
+    sents = F.filter(
+        F.split(F.col(text_col), r"[.!?]+"),
+        lambda s: F.trim(s) != "")
+    syll = F.aggregate(
+        "toks",
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc + F.greatest(
+            F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"),
+                                        F.lit(0))),
+            F.lit(1)),
+    )
+    out = (
+        df.select(F.col(id_col).alias("doc_id"),
+                  toks.alias("toks"), sents.alias("sents"))
+        .select(
+            "doc_id",
+            F.size("toks").cast("bigint").alias("n_words"),
+            F.greatest(F.size("sents"), F.lit(1)).cast("bigint")
+            .alias("n_sents"),
+            syll.alias("n_syll"),
+        )
+        .filter(F.col("n_words") > 0)
+    )
+    return out.select(
+        "doc_id", "n_words", "n_sents", "n_syll",
+        (F.lit(206835).cast("bigint")
+         - F.expr("(1015 * n_words) div n_sents")
+         - F.expr("(84600 * n_syll) div n_words"))
+        .alias("flesch_x1000"),
+    )
+
+
+def sql_readability_stats(rel: str, text_col: str = "text",
+                          id_col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`readability_stats`."""
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_id,
+         list_filter(string_split_regex(lower({text_col}), '\\s+'),
+                     t -> t <> '') AS toks,
+         list_filter(string_split_regex({text_col}, '[.!?]+'),
+                     s -> trim(s) <> '') AS sents
+  FROM {rel}
+), counted AS (
+  SELECT doc_id,
+         len(toks)::BIGINT AS n_words,
+         greatest(len(sents), 1)::BIGINT AS n_sents,
+         coalesce(list_sum(list_transform(toks,
+             w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')),
+                           1))), 0)::BIGINT AS n_syll
+  FROM base WHERE len(toks) > 0
+)
+SELECT doc_id, n_words, n_sents, n_syll,
+       (206835 - (1015 * n_words) // n_sents
+               - (84600 * n_syll) // n_words)::BIGINT AS flesch_x1000
+FROM counted
+"""
