@@ -2324,11 +2324,25 @@ def text_readability(spark, sf_dir):
     return readability_stats(_t(spark, sf_dir, "documents"))
 
 
+
+def dedup_jaccard_prefix(spark, sf_dir):
+    """Exact Jaccard near-dup pairs via PREFIX FILTERING (PPJoin
+    family): under a global rarest-first token order, only each
+    doc's (s − ⌈t·s⌉ + 1)-token prefix enters the candidate join, so
+    a stop token posted by every doc NEVER builds candidate rows —
+    the exact, by-construction answer to the inverted-index blowup
+    that lsh_candidates caps after the fact.  Output ≡
+    dedup_jaccard's exhaustive join (same DuckDB twin) at J ≥ 0.9
+    over doc_id < 300 — see functions/dedup.py:jaccard_pairs_prefix."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return dd.jaccard_pairs_prefix(d, 9000)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry, ORDER MATTERS: the driver's correctness artifact
     records only the FIRST 50 entries in dict order (observed
     empirically: CORRECTNESS_r01/r02/r03 each captured exactly
-    registry positions 1-50).  The registry has 126 entries (118 with
+    registry positions 1-50).  The registry has 127 entries (119 with
     exact DuckDB twins in oracle_sql()), so the prefix is ROTATED per
     round to maximize cumulative driver evidence:
 
@@ -2516,6 +2530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_reciprocity": web_reciprocity,
         "dedup_containment": dedup_containment,
         "text_readability": text_readability,
+        "dedup_jaccard_prefix": dedup_jaccard_prefix,
         # non-SQL-expressible (strongest oracles in pytest: numpy
         # cross-impl / recall bounds / gaia_ref exact-set; kg_* rows
         # were driver-recorded as rows-only in r1)
@@ -3501,6 +3516,8 @@ GROUP BY 1, 2, 3
         sql_readability_stats as _sql_read,
     )
     sql["text_readability"] = _sql_read("documents")
+    sql["dedup_jaccard_prefix"] = dd.sql_jaccard_pairs(
+        "documents", 9000, where="doc_id < 300")
     from gaia_spark.operators.cleankb import sql_rdfs_infer
     sql["kg_rdfs_infer"] = sql_rdfs_infer(
         _SQL_PROFILE_TRIPLES, _RDFS_SCHEMA)

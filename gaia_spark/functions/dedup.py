@@ -245,6 +245,75 @@ WHERE ({SCALE} * inter) // s.sz >= {min_x10k}
 """
 
 
+def prefix_candidates(postings: DataFrame, min_x10k: int) -> DataFrame:
+    """Prefix-filtering candidate pairs for an EXACT Jaccard ≥ t join
+    (PPJoin family, Xiao et al. 2008 — the third classic next to the
+    exhaustive inverted index and MinHash/LSH, and the only one that
+    is both exact AND sub-quadratic on stop-token-heavy corpora).
+
+    Under one global token order (document frequency ASC, token ASC —
+    rarest first), a doc with |A| = s keeps only its first
+    ``p = s − ⌈t·s⌉ + 1`` tokens as index/probe tokens (⌈t·s⌉
+    computed in pure integers: ``(min_x10k·s + 9999) div 10⁴``).
+    Completeness: J(A,B) ≥ t ⟹ |A∩B| ≥ ⌈t·|A|⌉ and ≥ ⌈t·|B|⌉, and
+    the prefix lemma then forces the two prefixes to share a token —
+    so joining on PREFIX postings only loses no qualifying pair.
+
+    Why this scales where the exhaustive join dies: a stopword posted
+    by every doc has MAXIMAL df, so it sorts LAST and never enters any
+    prefix at realistic t — the d²-row stop-token blowup is eliminated
+    by construction rather than capped after the fact (the complement
+    of lsh_candidates' MAX_BAND_BUCKET posture; both exist because one
+    is exact and one is constant-factor cheaper).
+
+    Shape: one token-keyed df count, one df re-attach join, one
+    per-doc window over (df, tok) — doc-keyed, reuses the corpus
+    partitioning — then the self-join restricted to prefix postings.
+    """
+    from pyspark.sql.window import Window
+
+    dfc = postings.groupBy("tok").agg(F.count("*").alias("tok_df"))
+    ranked = (
+        postings.join(dfc, "tok")
+        .withColumn("pos", F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("tok_df", "tok")))
+    )
+    sizes = postings.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    pref = (
+        ranked.join(sizes, "doc_id")
+        .filter(F.col("pos") <= F.col("sz")
+                - F.expr(f"({min_x10k} * sz + {SCALE - 1}) div {SCALE}")
+                + F.lit(1))
+        .select("doc_id", "tok")
+        .localCheckpoint()
+    )
+    a = pref.alias("a")
+    b = pref.alias("b")
+    return (
+        a.join(b, "tok")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("a_id"),
+                F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+
+
+def jaccard_pairs_prefix(df: DataFrame, min_x10k: int,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Exact Jaccard ≥ t near-dup pairs via prefix filtering +
+    per-pair verification — IDENTICAL output to :func:`jaccard_pairs`
+    (its DuckDB twin is therefore this operator's oracle too), at
+    sub-quadratic cost on corpora where shared frequent tokens make
+    the exhaustive token self-join explode.  Verification reuses
+    :func:`jaccard_for_pairs` (pair-keyed equi-joins — linear in
+    candidates, immune to stop-token fan-out).
+    """
+    postings = token_set(df, text_col, id_col).localCheckpoint()
+    cand = prefix_candidates(postings, min_x10k)
+    return jaccard_for_pairs(postings, cand, min_x10k)
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
