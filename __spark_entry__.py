@@ -2338,6 +2338,39 @@ def dedup_jaccard_prefix(spark, sf_dir):
     return dd.jaccard_pairs_prefix(d, 9000)
 
 
+def web_hostrank(spark, sf_dir):
+    """Host authority: WEIGHTED PageRank over the host-level link
+    graph (rank flows proportionally to link multiplicity — the
+    domain-authority side input crawl-budget apportionment and spam
+    demotion consume).  One (src,dst) rollup, then per iteration one
+    contribs shuffle + one node-keyed join, BIGINT ppm fixed-point —
+    see operators/graph.py:pagerank_weighted."""
+    from gaia_spark.functions import web
+    from gaia_spark.operators.graph import pagerank_weighted
+    d = (_t(spark, sf_dir, "documents")
+         .withColumn("url", web.synth_url(F.col("doc_id"),
+                                          F.col("source")))
+         .withColumn("html", web.synth_html(F.col("doc_id"),
+                                            F.col("source"),
+                                            F.col("text"))))
+    hosts = web.host_link_graph(
+        web.extract_outlinks(web.with_url_parts(d)))
+    return pagerank_weighted(
+        hosts.select(F.col("src_host").alias("src"),
+                     F.col("dst_host").alias("dst"), "weight"))
+
+
+def graph_mis(spark, sf_dir):
+    """Deterministic Luby-style maximal independent set over the
+    co-purchase graph (md5 static priorities → the unique greedy MIS;
+    the parallel symmetry-breaking primitive for anchor selection /
+    distributed greedy matching).  Per round one semi-join + one
+    map-side-combined min + two anti-joins, keys only, raise-on-
+    non-convergence — see operators/graph.py:luby_mis."""
+    from gaia_spark.operators.graph import luby_mis
+    return luby_mis(_copurchase_edges(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry, ORDER MATTERS: the driver's correctness artifact
     records only the FIRST 50 entries in dict order (observed
@@ -2531,6 +2564,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": dedup_containment,
         "text_readability": text_readability,
         "dedup_jaccard_prefix": dedup_jaccard_prefix,
+        "web_hostrank": web_hostrank,
+        "graph_mis": graph_mis,
         # non-SQL-expressible (strongest oracles in pytest: numpy
         # cross-impl / recall bounds / gaia_ref exact-set; kg_* rows
         # were driver-recorded as rows-only in r1)
@@ -3526,5 +3561,16 @@ GROUP BY 1, 2, 3
             f"SELECT {_web.sql_synth_url()} AS url, "
             f"{_web.sql_synth_html()} AS html FROM documents"),
         max_out=64, min_count=2)
+    from gaia_spark.operators.graph import (
+        sql_luby_mis as _sql_mis,
+        sql_pagerank_weighted as _sql_wpr,
+    )
+    sql["web_hostrank"] = _sql_wpr(
+        "SELECT src_host AS src, dst_host AS dst, weight FROM ("
+        + _web.sql_host_link_graph(
+            f"SELECT {_web.sql_synth_url()} AS url, "
+            f"{_web.sql_synth_html()} AS html FROM documents")
+        + ")")
+    sql["graph_mis"] = _sql_mis(_SQL_COPURCHASE)
 
     return sql

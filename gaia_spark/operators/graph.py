@@ -1668,3 +1668,219 @@ SELECT (SELECT count(*)::BIGINT FROM e) AS n_edges,
         (SELECT count(*) FROM e))::BIGINT AS reciprocity_x10k
 FROM rec
 """
+
+
+def pagerank_weighted(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """Weighted PageRank over ``(src, dst, weight)`` multigraph
+    rollups → (node, rank_ppm): each node's rank flows to its
+    out-neighbors PROPORTIONALLY to edge weight (floor division),
+    the natural rank for host-level link graphs where an edge
+    carries "this host linked that host W times".
+
+    Same BIGINT fixed-point contract as ``pagerank`` (ppm units,
+    floor division everywhere, dangling mass leaks), so the unrolled
+    DuckDB twin is hash-identical.  Parallel edges must be
+    pre-aggregated (``host_link_graph`` output is); duplicate
+    (src, dst) keys would double-count mass, so the kernel
+    re-aggregates defensively.
+
+    Scale shape: identical to ``pagerank`` — per iteration one
+    contribs shuffle keyed by dst and one node-keyed left join, with
+    ``localCheckpoint`` lineage truncation.  The weight column adds
+    ONE extra vocabulary-scale aggregate up front (per-src total
+    weight) that joins src-keyed alongside the rank row.
+    """
+    e = (edges.groupBy("src", "dst")
+         .agg(F.sum("weight").cast("bigint").alias("weight"))
+         .localCheckpoint())
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outw = e.groupBy("src").agg(F.sum("weight").alias("outw"))
+    base = PPM - PPM * DAMPING_X100 // 100
+    rank = nodes.withColumn(
+        "rank_ppm", F.lit(PPM).cast("bigint")).localCheckpoint()
+    for _ in range(iters):
+        contribs = (
+            e.join(rank, e.src == rank.node)
+            .join(outw, "src")
+            .select(F.col("dst").alias("node"),
+                    F.expr("(rank_ppm * weight) div outw").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        rank = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (F.lit(base).cast("bigint")
+                 + F.expr(f"({DAMPING_X100} * coalesce(contrib, 0))"
+                          " div 100")).alias("rank_ppm"),
+            )
+            .localCheckpoint()
+        )
+    return rank
+
+
+def sql_pagerank_weighted(edges_sql: str, iters: int = 3) -> str:
+    """DuckDB twin: same weight-proportional flow, K iterations
+    unrolled, same floor-division order."""
+    base = PPM - PPM * DAMPING_X100 // 100
+    ctes = [
+        f"edges AS (SELECT src, dst, sum(weight)::BIGINT AS weight "
+        f"FROM ({edges_sql}) GROUP BY src, dst)",
+        "nodes AS (SELECT src AS node FROM edges "
+        "UNION SELECT dst FROM edges)",
+        "outw AS (SELECT src, sum(weight)::BIGINT AS outw FROM edges "
+        "GROUP BY src)",
+        f"r0 AS (SELECT node, {PPM}::BIGINT AS rank_ppm FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"c{i} AS (SELECT e.dst AS node, "
+            f"sum((r.rank_ppm * e.weight) // o.outw)::BIGINT AS contrib "
+            f"FROM edges e JOIN r{i-1} r ON e.src = r.node "
+            f"JOIN outw o ON e.src = o.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT n.node, "
+            f"({base} + {DAMPING_X100} * coalesce(c.contrib, 0) // 100)"
+            f"::BIGINT AS rank_ppm "
+            f"FROM nodes n LEFT JOIN c{i} c USING (node))"
+        )
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, rank_ppm FROM r{iters}")
+
+
+def _mis_prio(node) -> F.Column:
+    """Deterministic MIS priority: ``lpad(hex32(md5(node)), 10, '0')
+    || '#' || node`` — a single STRING both engines order
+    identically (the zero-padded 32-bit hash makes lexicographic =
+    numeric; the node suffix breaks hash ties totally)."""
+    col = F.col(node) if isinstance(node, str) else node
+    h = F.conv(F.substring(F.md5(col), 1, 8), 16, 10)
+    return F.concat(F.lpad(h, 10, "0"), F.lit("#"), col)
+
+
+def _sql_mis_prio(node: str) -> str:
+    return (f"lpad(('0x' || substr(md5({node}), 1, 8))::BIGINT::VARCHAR,"
+            f" 10, '0') || '#' || {node}")
+
+
+def luby_mis(edges: DataFrame, rounds: int = 16) -> DataFrame:
+    """Deterministic Luby-style maximal independent set →
+    ``(node, mis_round)`` for every MIS member.
+
+    The parallel symmetry-breaking primitive behind distributed
+    greedy matching / clustering-anchor selection: pick a canonical
+    set of mutually non-adjacent "anchor" nodes (e.g. one
+    representative per crowded KG neighborhood) with NO sequential
+    scan.  Priorities are static md5 hashes (``_mis_prio``), so the
+    result is the unique greedy MIS in priority order — a pure
+    function of the edge set, identical under any partitioning,
+    retry, or engine.
+
+    Per round, every ACTIVE node that is a strict local minimum
+    (its priority sorts before every active neighbor's) joins the
+    MIS; winners and their neighbors deactivate.  With random-ish
+    hash priorities the longest priority-decreasing path is
+    O(log n) in expectation, so 16 rounds covers graphs far past
+    this sandbox's scale; the kernel RAISES if nodes remain active
+    after the last round (a partial MIS is a wrong answer — same
+    policy as ``connected_components`` / ``kcore``).
+
+    Scale shape per round: one semi-join of the symmetric edge set
+    against the active set (AQE-broadcast once the frontier
+    shrinks), one map-side-combined min() per src, and two anti-
+    joins to deactivate — only (node, priority) strings travel,
+    lineage truncated per round.  The DuckDB twin unrolls the same
+    schedule.
+    """
+    und = _undirected(edges)
+    sym = (und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+           .unionByName(
+               und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+           .localCheckpoint())
+    active = (sym.select(F.col("src").alias("node")).distinct()
+              .localCheckpoint())
+    picked: DataFrame | None = None
+    for i in range(rounds):
+        if active.isEmpty():
+            break
+        act_e = (
+            sym.join(active.withColumnRenamed("node", "src"), "src",
+                     "left_semi")
+            .join(active.withColumnRenamed("node", "dst"), "dst",
+                  "left_semi")
+        )
+        nbr_min = act_e.groupBy("src").agg(
+            F.min(_mis_prio("dst")).alias("nbr_min"))
+        winners = (
+            active.join(nbr_min,
+                        active.node == nbr_min.src, "left")
+            .filter(F.col("nbr_min").isNull()
+                    | (_mis_prio("node") < F.col("nbr_min")))
+            .select("node")
+            .localCheckpoint()
+        )
+        sel = winners.select("node",
+                             F.lit(i).cast("int").alias("mis_round"))
+        picked = sel if picked is None else picked.unionByName(sel)
+        dead = (
+            winners.unionByName(
+                act_e.join(winners.withColumnRenamed("node", "src"),
+                           "src", "left_semi")
+                .select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        active = active.join(dead, "node", "left_anti").localCheckpoint()
+    if not active.isEmpty():
+        raise RuntimeError(
+            f"luby_mis: nodes still active after {rounds} rounds; "
+            "raise `rounds` (returning a partial MIS would violate "
+            "maximality)")
+    assert picked is not None
+    return picked.localCheckpoint()
+
+
+def sql_luby_mis(edges_sql: str, rounds: int = 16) -> str:
+    """DuckDB twin: the same greedy-by-priority schedule unrolled
+    (MATERIALIZED per round — each round references the previous
+    active set three times)."""
+    p = _sql_mis_prio
+    ctes = [
+        f"""sym AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM ({edges_sql}) WHERE src <> dst)
+  UNION ALL
+  SELECT b, a FROM (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM ({edges_sql}) WHERE src <> dst)
+)""",
+        "a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym)",
+    ]
+    wins = []
+    for i in range(rounds):
+        ctes.append(
+            f"""e{i} AS MATERIALIZED (
+  SELECT s.src, s.dst FROM sym s
+  JOIN a{i} x ON x.node = s.src
+  JOIN a{i} y ON y.node = s.dst)""")
+        ctes.append(
+            f"""w{i} AS MATERIALIZED (
+  SELECT a.node FROM a{i} a
+  LEFT JOIN (SELECT src, min({p('dst')}) AS nbr_min
+             FROM e{i} GROUP BY src) m ON m.src = a.node
+  WHERE m.nbr_min IS NULL OR {p('a.node')} < m.nbr_min)""")
+        ctes.append(
+            f"""a{i + 1} AS MATERIALIZED (
+  SELECT node FROM a{i}
+  WHERE node NOT IN (SELECT node FROM w{i})
+    AND node NOT IN (SELECT e.dst FROM e{i} e
+                     JOIN w{i} w ON w.node = e.src))""")
+        wins.append(f"SELECT node, {i} AS mis_round FROM w{i}")
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            + "\nUNION ALL\n".join(wins))
