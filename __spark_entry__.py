@@ -2371,6 +2371,98 @@ def graph_mis(spark, sf_dir):
     return luby_mis(_copurchase_edges(spark, sf_dir))
 
 
+#: point-in-time for the temporal snapshot — mid-range of the TPC-H
+#: orderdate span so v1/v2/v3 versions all straddle it
+_ASOF_TS = "1996-06-30 00:00:00"
+
+
+def _version_triples(spark, sf_dir):
+    """Deterministic versioned-assertion stream: every order's
+    priority triple takes effect at o_orderdate (v1); every 7th order
+    re-asserts '2-HIGH-REV' 90 days later (v2 — a crawl refresh
+    changing its mind); every 49th re-asserts '1-URGENT-REV' at +180
+    days (v3).  The SQL twin replays it bit-for-bit."""
+    o = _t(spark, sf_dir, "orders")
+    subj = F.concat(F.lit("o"), F.col("o_orderkey").cast("string"))
+    v1 = o.select(subj.alias("subj"), F.lit("priority").alias("pred"),
+                  F.col("o_orderpriority").alias("obj"),
+                  F.col("o_orderdate").alias("valid_from"))
+    v2 = (o.filter(F.col("o_orderkey") % 7 == 0)
+          .select(subj.alias("subj"), F.lit("priority").alias("pred"),
+                  F.lit("2-HIGH-REV").alias("obj"),
+                  (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+                  .alias("valid_from")))
+    v3 = (o.filter(F.col("o_orderkey") % 49 == 0)
+          .select(subj.alias("subj"), F.lit("priority").alias("pred"),
+                  F.lit("1-URGENT-REV").alias("obj"),
+                  (F.col("o_orderdate") + F.expr("INTERVAL 180 DAYS"))
+                  .alias("valid_from")))
+    return v1.unionByName(v2).unionByName(v3)
+
+
+_SQL_VERSION_TRIPLES = """
+    SELECT 'o' || o_orderkey::VARCHAR AS subj, 'priority' AS pred,
+           o_orderpriority AS obj, o_orderdate AS valid_from
+    FROM orders
+    UNION ALL
+    SELECT 'o' || o_orderkey::VARCHAR, 'priority', '2-HIGH-REV',
+           o_orderdate + INTERVAL 90 DAY
+    FROM orders WHERE o_orderkey % 7 = 0
+    UNION ALL
+    SELECT 'o' || o_orderkey::VARCHAR, 'priority', '1-URGENT-REV',
+           o_orderdate + INTERVAL 180 DAY
+    FROM orders WHERE o_orderkey % 49 = 0
+"""
+
+
+def kg_temporal(spark, sf_dir):
+    """Point-in-time KG snapshot (temporal complement of kg_upsert):
+    latest version per (subj, pred) as of a fixed timestamp over the
+    deterministic versioned-assertion stream — one pushed range
+    filter + ONE (subj, pred) window — see
+    operators/merge.py:snapshot_asof."""
+    from gaia_spark.operators.merge import snapshot_asof
+    return snapshot_asof(_version_triples(spark, sf_dir), _ASOF_TS)
+
+
+def kg_salience(spark, sf_dir):
+    """Entity salience over a deterministic mention stream (doc =
+    order, entity = part, pos = linenumber): frequency share +
+    early-mention bonus in exact x10k integers, compacted to a
+    bucket profile whose checksums pin every pair — two map-side-
+    combined aggs + one doc-keyed join — see
+    operators/salience.py:mention_salience."""
+    from gaia_spark.operators.salience import (mention_salience,
+                                               salience_profile)
+    li = _t(spark, sf_dir, "lineitem")
+    mentions = li.select(
+        F.col("l_orderkey").alias("doc_id"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+        .alias("entity"),
+        F.col("l_linenumber").alias("pos"))
+    return salience_profile(mention_salience(mentions))
+
+
+_SQL_MENTIONS = """
+    SELECT l_orderkey AS doc_id, 'p' || l_partkey::VARCHAR AS entity,
+           l_linenumber AS pos
+    FROM lineitem
+"""
+
+
+def kg_distmult(spark, sf_dir):
+    """DistMult triple scoring with md5-derived integer embeddings
+    (the KG-completion scorer paired with kg_neg_samples): entity +
+    relation dictionaries built once (vocabulary-scale), broadcast-
+    joined onto the triple stream, score folded in-row via
+    zip_with/aggregate; per-pred profile pins every score via exact
+    sums — see functions/kgembed.py:distmult_scores."""
+    from gaia_spark.functions.kgembed import (distmult_scores,
+                                              score_profile)
+    return score_profile(distmult_scores(_profile_triples(spark,
+                                                          sf_dir)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry, ORDER MATTERS: the driver's correctness artifact
     records only the FIRST 50 entries in dict order (observed
@@ -2566,6 +2658,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_prefix": dedup_jaccard_prefix,
         "web_hostrank": web_hostrank,
         "graph_mis": graph_mis,
+        "kg_temporal": kg_temporal,
+        "kg_salience": kg_salience,
+        "kg_distmult": kg_distmult,
         # non-SQL-expressible (strongest oracles in pytest: numpy
         # cross-impl / recall bounds / gaia_ref exact-set; kg_* rows
         # were driver-recorded as rows-only in r1)
@@ -3572,5 +3667,20 @@ GROUP BY 1, 2, 3
             f"{_web.sql_synth_html()} AS html FROM documents")
         + ")")
     sql["graph_mis"] = _sql_mis(_SQL_COPURCHASE)
+    from gaia_spark.operators.merge import sql_snapshot_asof
+    sql["kg_temporal"] = sql_snapshot_asof(_SQL_VERSION_TRIPLES,
+                                           _ASOF_TS)
+    from gaia_spark.operators.salience import (
+        sql_mention_salience,
+        sql_salience_profile,
+    )
+    sql["kg_salience"] = sql_salience_profile(
+        sql_mention_salience(_SQL_MENTIONS))
+    from gaia_spark.functions.kgembed import (
+        sql_distmult_scores,
+        sql_score_profile,
+    )
+    sql["kg_distmult"] = sql_score_profile(
+        sql_distmult_scores(_SQL_PROFILE_TRIPLES))
 
     return sql

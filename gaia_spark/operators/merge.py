@@ -21,7 +21,7 @@ of hub subjects otherwise.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 KEY = ["subj", "pred", "obj"]
@@ -90,4 +90,46 @@ SELECT coalesce(cur.subj, inc.subj) AS subj,
             ELSE 'confirmed' END AS status
 FROM cur FULL OUTER JOIN inc
   ON cur.subj = inc.subj AND cur.pred = inc.pred AND cur.obj = inc.obj
+"""
+
+
+def snapshot_asof(versions: DataFrame, ts: str) -> DataFrame:
+    """Point-in-time KG snapshot: over ``versions(subj, pred, obj,
+    valid_from)`` (every assertion a functional predicate ever made,
+    stamped with when it took effect), return the triple state AS OF
+    ``ts`` — per (subj, pred), the version with the latest
+    ``valid_from <= ts`` wins; keys whose earliest version postdates
+    ``ts`` are absent.
+
+    This is the temporal complement of :func:`merge_triples`: the
+    merge maintains provenance going forward, the snapshot answers
+    "what did the KG believe at crawl time T" (training-data freeze,
+    leakage audits, crawl-refresh forensics).  Ties on ``valid_from``
+    break by max(obj) so the answer is a pure function of the data.
+
+    Scale shape: one pushed-down range filter (valid_from <= ts
+    reaches the scan) + ONE (subj, pred)-keyed window — the same
+    shuffle a dedup pass pays; obj strings ride only their own rows.
+    On a real cluster the versions table is Iceberg-partitioned by
+    months(valid_from), so the filter prunes whole partitions.
+    """
+    w = (Window.partitionBy("subj", "pred")
+         .orderBy(F.col("valid_from").desc(), F.col("obj").desc()))
+    return (
+        versions.filter(F.col("valid_from") <= F.lit(ts).cast("timestamp"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("subj", "pred", "obj", "valid_from")
+    )
+
+
+def sql_snapshot_asof(versions_sql: str, ts: str) -> str:
+    """DuckDB twin: same filter + QUALIFY latest-version pick."""
+    return f"""
+SELECT subj, pred, obj, valid_from
+FROM ({versions_sql})
+WHERE valid_from <= TIMESTAMP '{ts}'
+QUALIFY row_number() OVER (
+  PARTITION BY subj, pred
+  ORDER BY valid_from DESC, obj DESC) = 1
 """
