@@ -2463,6 +2463,33 @@ def kg_distmult(spark, sf_dir):
                                                           sf_dir)))
 
 
+def text_kneser_ney(spark, sf_dir):
+    """TRAIN an interpolated Kneser-Ney bigram LM over the corpus
+    (the distributed lmplz: discounted ML + continuation-probability
+    backoff, exact integer ppm) — bigrams stay in-row until ONE
+    (w1, w2) map-side-combined shuffle; marginals are vocabulary-
+    scale joins — see functions/lm.py:kn_bigram_model."""
+    from gaia_spark.functions.lm import kn_bigram_model
+    return kn_bigram_model(_t(spark, sf_dir, "documents"),
+                           min_count=2)
+
+
+#: phrase for the positional-index query — a frequent bigram of the
+#: synthetic vocabulary (48 hits at sf0.01), so the result is a real
+#: multi-doc answer, not an empty set
+_PHRASE = ["table", "hash"]
+
+
+def text_phrase(spark, sf_dir):
+    """Exact positional phrase query ("table hash"): per-term
+    positional postings (term filter INSIDE the explode — only query
+    terms leave the row) chained by (doc_id, pos+k) equi-joins;
+    overlap-counting occurrence totals — see
+    functions/retrieval.py:phrase_match."""
+    from gaia_spark.functions.retrieval import phrase_match
+    return phrase_match(_t(spark, sf_dir, "documents"), _PHRASE)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry, ORDER MATTERS: the driver's correctness artifact
     records only the FIRST 50 entries in dict order (observed
@@ -2661,6 +2688,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_temporal": kg_temporal,
         "kg_salience": kg_salience,
         "kg_distmult": kg_distmult,
+        "text_kneser_ney": text_kneser_ney,
+        "text_phrase": text_phrase,
         # non-SQL-expressible (strongest oracles in pytest: numpy
         # cross-impl / recall bounds / gaia_ref exact-set; kg_* rows
         # were driver-recorded as rows-only in r1)
@@ -3682,5 +3711,10 @@ GROUP BY 1, 2, 3
     )
     sql["kg_distmult"] = sql_score_profile(
         sql_distmult_scores(_SQL_PROFILE_TRIPLES))
+    from gaia_spark.functions.lm import sql_kn_bigram_model
+    sql["text_kneser_ney"] = sql_kn_bigram_model("documents",
+                                                 min_count=2)
+    from gaia_spark.functions.retrieval import sql_phrase_match
+    sql["text_phrase"] = sql_phrase_match("documents", _PHRASE)
 
     return sql

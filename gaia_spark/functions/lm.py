@@ -225,3 +225,101 @@ SELECT doc_id, n_tokens, surprisal_cb,
             ELSE {OOV_CB} END::BIGINT AS mean_surprisal_cb
 FROM scored
 """
+
+
+#: Kneser-Ney absolute discount, x100 fixed-point (the classic 0.75)
+KN_DISCOUNT_X100 = 75
+
+#: probability fixed-point unit for the trained model
+KN_PPM = 1_000_000
+
+
+def kn_bigram_model(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    min_count: int = 2) -> DataFrame:
+    """TRAIN an interpolated Kneser-Ney bigram model over the corpus
+    → (w1, w2, c12, p_kn_ppm): the distributed counterpart of a
+    KenLM ``lmplz`` run, in exact integer fixed-point.
+
+    Interpolated KN (Chen & Goodman 1999) with absolute discount
+    D = 0.75 (x100 integer):
+
+        p_kn(w2|w1) = max(c(w1w2) − D, 0) / c(w1)
+                    + (D · N1+(w1·) / c(w1)) · p_cont(w2)
+        p_cont(w2)  = N1+(·w2) / N1+(··)
+
+    computed as ppm BIGINTs with floor division at each step (the
+    exact order the DuckDB twin replays, so hashes match).  Only
+    bigrams with ``c12 >= min_count`` are emitted (the standard
+    prune); the discounted mass they carry is unaffected.  BIGINT
+    headroom: PPM·(100·c12) caps c12 at ~9e10 per bigram — beyond
+    that, drop to per-shard models + a count-merge pass.
+
+    Scale shape: bigrams stay IN-ROW until one (w1, w2) map-side-
+    combined count shuffle; the w1- and w2-marginals are vocabulary-
+    scale aggregates that re-attach by broadcastable joins; the
+    distinct-bigram total rides a single-row cross join.  No Python,
+    no window, no explode wider than the pair stream.
+    """
+    toks = _tokens(F.col(text_col))
+    pairs = (
+        df.select(toks.alias("ts"))
+        .filter(F.size("ts") >= 2)
+        .select(F.explode(F.expr(
+            "transform(sequence(1, size(ts) - 1), "
+            "i -> struct(ts[i-1] AS w1, ts[i] AS w2))")).alias("p"))
+        .select("p.w1", "p.w2")
+    )
+    bi = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12"))
+    left = bi.groupBy("w1").agg(
+        F.sum("c12").alias("c1"),
+        F.count(F.lit(1)).alias("n1p_fwd"))
+    right = bi.groupBy("w2").agg(
+        F.count(F.lit(1)).alias("n1p_bwd"))
+    total = bi.agg(F.count(F.lit(1)).alias("n_bigram_types"))
+    d = KN_DISCOUNT_X100
+    return (
+        bi.join(left, "w1").join(right, "w2").crossJoin(total)
+        .select(
+            "w1", "w2", "c12",
+            (F.expr(f"({KN_PPM} * greatest(100 * c12 - {d}, 0))"
+                    " div (100 * c1)")
+             + F.expr(f"({d} * n1p_fwd * (({KN_PPM} * n1p_bwd)"
+                      " div n_bigram_types)) div (100 * c1)"))
+            .cast("bigint").alias("p_kn_ppm"),
+        )
+        .filter(F.col("c12") >= min_count)
+    )
+
+
+def sql_kn_bigram_model(rel: str, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        min_count: int = 2) -> str:
+    """DuckDB twin: same tokenization, same counts, same floor-
+    division order."""
+    d = KN_DISCOUNT_X100
+    return f"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower({text_col}),
+                                        '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM {rel}
+), pairs AS (
+  SELECT ts, unnest(range(1, len(ts))) AS i FROM toks
+), bi AS (
+  SELECT ts[i] AS w1, ts[i + 1] AS w2, count(*)::BIGINT AS c12
+  FROM pairs GROUP BY 1, 2
+), lft AS (
+  SELECT w1, sum(c12)::BIGINT AS c1, count(*)::BIGINT AS n1p_fwd
+  FROM bi GROUP BY w1
+), rgt AS (
+  SELECT w2, count(*)::BIGINT AS n1p_bwd FROM bi GROUP BY w2
+), tot AS (SELECT count(*)::BIGINT AS n_bigram_types FROM bi)
+SELECT bi.w1, bi.w2, bi.c12,
+       (({KN_PPM} * greatest(100 * bi.c12 - {d}, 0)) // (100 * c1)
+        + ({d} * n1p_fwd * (({KN_PPM} * n1p_bwd) // n_bigram_types))
+          // (100 * c1))::BIGINT AS p_kn_ppm
+FROM bi JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN tot
+WHERE bi.c12 >= {min_count}
+"""

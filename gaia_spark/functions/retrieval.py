@@ -149,3 +149,90 @@ SELECT doc_id, dl, score_x10k,
        row_number() OVER (ORDER BY score_x10k DESC, doc_id) AS rank
 FROM topk
 """
+
+
+def positional_postings(df: DataFrame, terms: list[str],
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Positional posting list for a FIXED term set → (doc_id, tok,
+    pos) with 1-based positions.
+
+    The term filter runs inside the explode's source expression, so
+    only the query terms' positions ever leave the row — a
+    1000-token doc posts ≤ a handful of rows, never 1000.  This is
+    the scan-shaped phrase-query index: at 100 TB you materialize
+    postings for the query's terms, not a corpus-wide inverted
+    index.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), WORD_SPLIT_RE),
+        lambda t: t != "")
+    term_arr = F.array(*[F.lit(t) for t in sorted(set(terms))])
+    posting = F.filter(
+        F.expr("transform(sequence(1, size(ts)), "
+               "i -> struct(ts[i-1] AS tok, i AS pos))"),
+        lambda s: F.array_contains(term_arr, s["tok"]))
+    return (
+        df.select(F.col(id_col).alias("doc_id"), toks.alias("ts"))
+        .filter(F.size("ts") >= 1)
+        .select("doc_id", F.explode(posting).alias("p"))
+        .select("doc_id", F.col("p.tok").alias("tok"),
+                F.col("p.pos").cast("bigint").alias("pos"))
+    )
+
+
+def phrase_match(df: DataFrame, phrase: list[str],
+                 text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Exact phrase query → (doc_id, n_occurrences ≥ 1): documents
+    where ``phrase``'s terms appear CONSECUTIVELY, with the exact
+    occurrence count (overlaps counted — "a a a" has two "a a").
+
+    Built on :func:`positional_postings`: the k-th term's postings
+    equi-join the first's on (doc_id, pos + k) — each join leg
+    carries only (doc_id, pos) pairs for ONE query term, so the
+    plan's volume is the phrase's rarest-term posting size, not the
+    corpus.  Catalyst collapses the chain into one shuffle per term
+    keyed identically (doc_id, pos-offset); a repeated term reuses
+    the same posting scan (self-join, not a rescan).
+    """
+    assert len(phrase) >= 2, "phrase_match needs >= 2 terms"
+    post = positional_postings(df, phrase, text_col, id_col)
+    cur = (post.filter(F.col("tok") == phrase[0])
+           .select("doc_id", F.col("pos").alias("p0")))
+    for k, term in enumerate(phrase[1:], start=1):
+        nxt = (post.filter(F.col("tok") == F.lit(term))
+               .select("doc_id", (F.col("pos") - k).alias("p0")))
+        cur = cur.join(nxt, ["doc_id", "p0"], "left_semi")
+    return (cur.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_occurrences")))
+
+
+def sql_phrase_match(rel: str, phrase: list[str],
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> str:
+    """DuckDB twin: in-row adjacent-position scan (same tokenizer,
+    same overlap semantics) — the twin pins the ANSWER; the Spark
+    side pins the postings-join SHAPE."""
+    assert len(phrase) >= 2
+    conds = " AND ".join(
+        f"ts[i + {k}] = '{t}'" for k, t in enumerate(phrase))
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id,
+         list_filter(string_split_regex(lower({text_col}),
+                                        '{WORD_SPLIT_RE}'),
+                     t -> t <> '') AS ts
+  FROM {rel}
+)
+SELECT doc_id, n_occurrences FROM (
+  SELECT doc_id,
+         list_sum(list_transform(
+           range(1, len(ts) - {len(phrase) - 1} + 1),
+           i -> CASE WHEN {conds} THEN 1 ELSE 0 END))::BIGINT
+           AS n_occurrences
+  FROM toks
+  WHERE len(ts) >= {len(phrase)}
+)
+WHERE n_occurrences >= 1
+"""
