@@ -2490,6 +2490,44 @@ def text_phrase(spark, sf_dir):
     return phrase_match(_t(spark, sf_dir, "documents"), _PHRASE)
 
 
+def streaming_enrich(spark, sf_dir):
+    """Stream-static dimension enrichment, driver-ORACLED: an
+    availableNow stream of events left-joins the STATIC customer
+    dimension (broadcast-hinted; ~10% of the dimension withheld so
+    the no-match → NULL → 'UNMATCHED' path is exercised), then a
+    complete-mode per-segment aggregate drains to a memory sink.
+    The join is stateless (re-planned per micro-batch — a dimension
+    refresh lands on the next trigger); integer-only aggregates keep
+    the twin hash-exact — see
+    gaia_spark/streaming/__init__.py:enrich_with_dim."""
+    import tempfile
+
+    from gaia_spark.streaming import enrich_with_dim
+
+    ev = _t(spark, sf_dir, "events")
+    src = (spark.readStream.schema(ev.schema)
+           .option("pathGlobFilter", "events.parquet")
+           .parquet(sf_dir))
+    dim = (_t(spark, sf_dir, "customer")
+           .filter(F.col("c_custkey") % 10 != 3)
+           .select("c_custkey", "c_mktsegment"))
+    enriched = enrich_with_dim(src, dim, "user_id", "c_custkey")
+    out = (enriched.groupBy(
+        F.coalesce(F.col("c_mktsegment"), F.lit("UNMATCHED"))
+        .alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("event_id").alias("sum_event_id")))
+    ckpt = tempfile.mkdtemp(prefix="gaia_stream_enrich_")
+    q = (out.writeStream.format("memory")
+         .queryName("streaming_enrich_out")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .outputMode("complete")
+         .start())
+    q.awaitTermination()
+    return spark.table("streaming_enrich_out")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry, ORDER MATTERS: the driver's correctness artifact
     records only the FIRST 50 entries in dict order (observed
@@ -2690,6 +2728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_distmult": kg_distmult,
         "text_kneser_ney": text_kneser_ney,
         "text_phrase": text_phrase,
+        "streaming_enrich": streaming_enrich,
         # non-SQL-expressible (strongest oracles in pytest: numpy
         # cross-impl / recall bounds / gaia_ref exact-set; kg_* rows
         # were driver-recorded as rows-only in r1)
@@ -3716,5 +3755,15 @@ GROUP BY 1, 2, 3
                                                  min_count=2)
     from gaia_spark.functions.retrieval import sql_phrase_match
     sql["text_phrase"] = sql_phrase_match("documents", _PHRASE)
+    sql["streaming_enrich"] = """
+        SELECT coalesce(c.c_mktsegment, 'UNMATCHED') AS segment,
+               count(*)::BIGINT AS n_events,
+               sum(e.event_id)::BIGINT AS sum_event_id
+        FROM events e
+        LEFT JOIN (SELECT c_custkey, c_mktsegment FROM customer
+                   WHERE c_custkey % 10 <> 3) c
+          ON e.user_id = c.c_custkey
+        GROUP BY 1
+    """
 
     return sql

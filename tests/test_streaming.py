@@ -188,3 +188,54 @@ def test_streaming_hll_matches_batch_sketch(spark):
             hll_estimate(hll_ranked(_hll_shingles(docs, 5, "text"),
                                     "s")).collect()]
     assert got == want and len(got) == 1
+
+
+def test_enrich_with_dim_left_join_and_batch_equivalence(
+        spark, tmp_path):
+    """Stream-static enrichment: every fact row survives (misses get
+    NULLs), and the drained stream equals the same join run as a
+    batch — the stream-static contract."""
+    import pandas as pd
+
+    from gaia_spark.streaming import enrich_with_dim
+
+    facts = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99)], "fact_id long, k long")
+    src_dir = str(tmp_path / "facts")
+    facts.coalesce(1).write.parquet(src_dir)
+    dim = spark.createDataFrame(
+        [(10, "a"), (20, "b")], "dk long, attr string")
+
+    st = spark.readStream.schema(facts.schema).parquet(src_dir)
+    out = enrich_with_dim(st, dim, "k", "dk")
+    q = (out.writeStream.format("memory")
+         .queryName("enrich_t")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True)
+         .outputMode("append").start())
+    q.awaitTermination()
+    got = spark.table("enrich_t").toPandas().sort_values(
+        "fact_id").reset_index(drop=True)
+    want = enrich_with_dim(facts, dim, "k", "dk").toPandas(
+    ).sort_values("fact_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)])
+    # no fact dropped; the miss carries NULL
+    assert len(got) == 3
+    assert got.loc[got.fact_id == 3, "attr"].isna().all()
+
+
+def test_enrich_with_dim_broadcasts_the_dimension(spark):
+    """Batch plan shape: the dimension side must be a broadcast
+    exchange, not a shuffle."""
+    from gaia_spark.streaming import enrich_with_dim
+
+    from pyspark.sql import functions as F
+
+    facts = spark.range(100).withColumn("k", F.col("id") % 10)
+    dim = spark.range(10).select(F.col("id").alias("dk"),
+                                 F.lit("x").alias("attr"))
+    df = enrich_with_dim(facts, dim, "k", "dk")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
