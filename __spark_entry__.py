@@ -2528,6 +2528,53 @@ def streaming_enrich(spark, sf_dir):
     return spark.table("streaming_enrich_out")
 
 
+def sample_temperature(spark, sf_dir):
+    """Temperature-scaled (α = 1/2) mixture sampling — the
+    mT5/XLM-R rebalancing law in EXACT integer arithmetic (isqrt
+    with ±1 ulp correction, no float pow): per-source quota/rate
+    table plus the realized hash-gate keeper counts.  One map-side-
+    combined per-source count + a broadcast rate re-attach; the gate
+    is shuffle-free — see functions/sampling.py:temperature_rates /
+    temperature_sample."""
+    from gaia_spark.functions import sampling as sp
+    d = _t(spark, sf_dir, "documents")
+    rates = sp.temperature_rates(d, budget=2000)
+    kept = (sp.temperature_sample(d, budget=2000)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_kept")))
+    return (rates.join(kept, "source", "left")
+            .select("source", "n_docs", "weight", "quota",
+                    "rate_x10k",
+                    F.coalesce("n_kept", F.lit(0)).cast("bigint")
+                    .alias("n_kept")))
+
+
+def graph_modularity(spark, sf_dir):
+    """Newman modularity of the 4-round label-propagation partition
+    over the co-purchase graph (the quality score that closes the
+    community loop): per-community exact nano-unit Q contributions
+    via the overflow-safe double-floor recipe — two label-keyed
+    map-side aggs + two node-keyed label joins — see
+    operators/graph.py:modularity."""
+    from gaia_spark.operators.graph import (label_propagation,
+                                            modularity)
+    edges = _copurchase_edges(spark, sf_dir)
+    return modularity(edges, label_propagation(edges, rounds=4))
+
+
+def web_url_templates(spark, sf_dir):
+    """URL path-template mining (pattern-level crawl dedup: digit
+    runs collapse to {n}, so /p/3/item-88 and /p/7/item-123 group
+    under one template): in-row regexp_replace + ONE map-side-
+    combined groupBy with exact distinct-host counts — see
+    functions/web.py:url_templates."""
+    from gaia_spark.functions import web
+    d = web.with_url_parts(
+        _t(spark, sf_dir, "documents").withColumn(
+            "url", web.synth_url(F.col("doc_id"), F.col("source"))))
+    return web.url_templates(d)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry, ORDER MATTERS: the driver's correctness artifact
     records only the FIRST 50 entries in dict order (observed
@@ -2729,6 +2776,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_kneser_ney": text_kneser_ney,
         "text_phrase": text_phrase,
         "streaming_enrich": streaming_enrich,
+        "sample_temperature": sample_temperature,
+        "graph_modularity": graph_modularity,
+        "web_url_templates": web_url_templates,
         # non-SQL-expressible (strongest oracles in pytest: numpy
         # cross-impl / recall bounds / gaia_ref exact-set; kg_* rows
         # were driver-recorded as rows-only in r1)
@@ -3755,6 +3805,32 @@ GROUP BY 1, 2, 3
                                                  min_count=2)
     from gaia_spark.functions.retrieval import sql_phrase_match
     sql["text_phrase"] = sql_phrase_match("documents", _PHRASE)
+    from gaia_spark.functions.sampling import (sql_hash_gate,
+                                               sql_temperature_rates)
+    _trates = sql_temperature_rates("documents", budget=2000)
+    _tgate = sql_hash_gate(
+        "coalesce(d.source, '') || ':' || d.doc_id::VARCHAR",
+        "r.rate_x10k")
+    sql["sample_temperature"] = f"""
+        WITH rates AS ({_trates}),
+        kept AS (
+          SELECT d.source, count(*)::BIGINT AS n_kept
+          FROM documents d JOIN rates r ON d.source = r.source
+          WHERE {_tgate}
+          GROUP BY d.source
+        )
+        SELECT r.source, r.n_docs, r.weight, r.quota, r.rate_x10k,
+               coalesce(k.n_kept, 0)::BIGINT AS n_kept
+        FROM rates r LEFT JOIN kept k USING (source)
+    """
+    from gaia_spark.operators.graph import (
+        sql_label_propagation as _sql_lp4,
+        sql_modularity as _sql_mod,
+    )
+    sql["graph_modularity"] = _sql_mod(
+        _SQL_COPURCHASE, _sql_lp4(_SQL_COPURCHASE, rounds=4))
+    sql["web_url_templates"] = _web.sql_url_templates(
+        f"SELECT {_web.sql_synth_url()} AS url FROM documents")
     sql["streaming_enrich"] = """
         SELECT coalesce(c.c_mktsegment, 'UNMATCHED') AS segment,
                count(*)::BIGINT AS n_events,

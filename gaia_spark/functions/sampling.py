@@ -338,3 +338,90 @@ SELECT {case} AS split, {stratum_col} AS stratum,
 FROM {rel}
 GROUP BY 1, 2
 """
+
+
+def isqrt_col(n: Column) -> Column:
+    """Exact integer floor-sqrt of a non-negative BIGINT column.
+
+    Float sqrt is correct to 1 ulp, so one downward and one upward
+    correction pin the exact floor on every engine — the
+    deterministic bridge that lets a FRACTIONAL-power sampling law
+    ride integer arithmetic."""
+    s = F.floor(F.sqrt(n.cast("double"))).cast("bigint")
+    s = F.when(s * s > n, s - 1).otherwise(s)
+    return F.when((s + 1) * (s + 1) <= n, s + 1).otherwise(s)
+
+
+def sql_isqrt(n: str) -> str:
+    """DuckDB twin of :func:`isqrt_col` (same ±1 correction)."""
+    s0 = f"floor(sqrt(({n})::DOUBLE))::BIGINT"
+    s1 = f"(CASE WHEN {s0} * {s0} > ({n}) THEN {s0} - 1 ELSE {s0} END)"
+    return (f"(CASE WHEN ({s1} + 1) * ({s1} + 1) <= ({n}) "
+            f"THEN {s1} + 1 ELSE {s1} END)")
+
+
+def temperature_rates(df: DataFrame, budget: int,
+                      source_col: str = "source") -> DataFrame:
+    """Temperature-scaled (α = 1/2) mixture quotas → (source,
+    n_docs, weight, quota, rate_x10k).
+
+    The multilingual/domain rebalancing law of mT5/XLM-R-style
+    recipes: sampling mass ∝ n^α flattens the head and boosts the
+    tail.  α = 1/2 is the one fractional temperature computable in
+    EXACT integer arithmetic (``isqrt_col``) — no float pow, so the
+    quota table is bit-identical across engines and partitionings.
+    ``quota_s = budget · √n_s div Σ√n`` and the acceptance rate is
+    ``min(10^4, (10^4 · quota_s) div n_s)``.
+
+    Scale shape: one map-side-combined per-source count (vocabulary-
+    scale), the Σ√n total on a single-row cross join — no corpus
+    re-scan, no window.
+    """
+    counts = (df.groupBy(F.col(source_col).alias("source"))
+              .agg(F.count(F.lit(1)).alias("n_docs"))
+              .withColumn("weight", isqrt_col(F.col("n_docs"))))
+    tot = counts.agg(F.sum("weight").alias("w_total"))
+    return (counts.crossJoin(tot)
+            .select(
+                "source", "n_docs", "weight",
+                F.expr(f"({budget} * weight) div w_total")
+                .alias("quota"))
+            .withColumn(
+                "rate_x10k",
+                F.least(F.lit(10_000).cast("bigint"),
+                        F.expr("(10000 * quota) div n_docs"))))
+
+
+def sql_temperature_rates(rel: str, budget: int,
+                          source_col: str = "source") -> str:
+    """DuckDB twin of :func:`temperature_rates`."""
+    isq = sql_isqrt("n_docs")
+    return f"""
+WITH counts AS (
+  SELECT {source_col} AS source, count(*)::BIGINT AS n_docs
+  FROM {rel} GROUP BY {source_col}
+), weighted AS (
+  SELECT source, n_docs, {isq}::BIGINT AS weight FROM counts
+), tot AS (SELECT sum(weight)::BIGINT AS w_total FROM weighted)
+SELECT source, n_docs, weight,
+       (({budget} * weight) // w_total)::BIGINT AS quota,
+       least(10000, (10000 * (({budget} * weight) // w_total))
+                    // n_docs)::BIGINT AS rate_x10k
+FROM weighted CROSS JOIN tot
+"""
+
+
+def temperature_sample(df: DataFrame, budget: int,
+                       source_col: str = "source",
+                       key_col: str = "doc_id") -> DataFrame:
+    """Apply :func:`temperature_rates` as a deterministic hash-gate
+    filter: ≈quota_s survivors per source, reproducible under any
+    partitioning.  The rate table is vocabulary-scale and broadcasts
+    onto the corpus scan; the gate itself is the shared md5
+    hash-gate (no shuffle, pushes below downstream aggs)."""
+    rates = temperature_rates(df, budget, source_col).select(
+        F.col("source").alias(source_col), "rate_x10k")
+    key = F.concat_ws(":", F.coalesce(F.col(source_col), F.lit("")),
+                      F.col(key_col).cast("string"))
+    return (df.join(F.broadcast(rates), source_col)
+            .filter(hash_gate(key, F.col("rate_x10k"))))

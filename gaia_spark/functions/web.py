@@ -913,3 +913,54 @@ SELECT shard, sum(c)::BIGINT AS n_keys
 FROM scored WHERE rn = 1
 GROUP BY shard
 """
+
+
+def url_templates(df: DataFrame, url_col: str = "url",
+                  host_col: str = "host",
+                  path_col: str = "path") -> DataFrame:
+    """URL path-template mining → (template, n_urls, n_hosts,
+    example_url): collapse every digit run in the path to ``{n}``
+    and aggregate.
+
+    The crawl-engineering primitive behind pattern-level dedup and
+    frontier shaping: ``/p/3/item-88`` and ``/p/7/item-123`` are the
+    same page TEMPLATE (``/p/{n}/item-{n}``), and a template whose
+    instance count explodes is a calendar/session-id trap a crawler
+    must cap — the pattern-level view ``web_crawl_budget`` acts on.
+
+    Scale shape: the template is one in-row regexp_replace (whole-
+    stage codegen, the url never shuffles in full — only template +
+    host leave the row), then ONE map-side-combined groupBy template
+    with an exact distinct-host count (templates are pattern-scale,
+    distinct hosts per template bounded by the host universe).
+    """
+    t = df.select(
+        F.regexp_replace(F.col(path_col), "[0-9]+", "{n}")
+        .alias("template"),
+        F.col(host_col).alias("host"),
+        F.col(url_col).alias("url"))
+    return (t.groupBy("template")
+            .agg(F.count(F.lit(1)).alias("n_urls"),
+                 F.countDistinct("host").alias("n_hosts"),
+                 F.min("url").alias("example_url")))
+
+
+def sql_url_templates(pages: str) -> str:
+    """DuckDB twin over a ``(url)`` relation: same host/path parse
+    as with_url_parts, same global digit-run collapse ('g' flag —
+    DuckDB replaces first-match-only by default; Spark replaces all
+    by default)."""
+    return f"""
+WITH parts AS (
+  SELECT url,
+         lower(regexp_extract(url, '{HOST_RE}', 1)) AS host,
+         coalesce(regexp_extract(url, '{PATH_RE}', 1), '') AS path
+  FROM ({pages})
+)
+SELECT regexp_replace(path, '[0-9]+', '{{n}}', 'g') AS template,
+       count(*)::BIGINT AS n_urls,
+       count(DISTINCT host)::BIGINT AS n_hosts,
+       min(url) AS example_url
+FROM parts
+GROUP BY 1
+"""

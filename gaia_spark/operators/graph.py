@@ -1884,3 +1884,97 @@ def sql_luby_mis(edges_sql: str, rounds: int = 16) -> str:
         wins.append(f"SELECT node, {i} AS mis_round FROM w{i}")
     return ("WITH " + ",\n".join(ctes) + "\n"
             + "\nUNION ALL\n".join(wins))
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity of a given node partition → per-community
+    rows (label, n_nodes, intra_edges, degree_sum, q_x1e9) whose
+    ``sum(q_x1e9)`` is the partition's Q in exact nano units.
+
+    The quality score that closes the community-detection loop:
+    label_propagation proposes a partition, modularity grades it
+    (Q = Σ_c e_c/m − (d_c/2m)² over the undirected simple graph).
+    Fixed-point recipe, pinned identically in the twin: the
+    expected-edges term squares AFTER a first x1e6 floor division —
+    ``t = (1e6·d_c) div (2m); term2 = t² div 1e3`` — so no
+    intermediate exceeds ~1e12 and BIGINT never overflows even at
+    m ≈ 1e9 (a direct 1e9·d_c² blows past 2^63 at m ≳ 1e5).  The
+    double floor loses < 1e-6 of Q per community — far below any
+    decision threshold — and both engines lose the SAME bits.
+
+    Scale shape: degrees and intra-edge counts are two label-keyed
+    map-side-combined aggregates; labels attach to edge endpoints by
+    two node-keyed joins (broadcast when the labeling is vocabulary-
+    scale, shuffle otherwise); m rides a single-row cross join.
+    """
+    und = _undirected(edges).localCheckpoint()
+    la = labels.select(F.col("node").alias("a"),
+                       F.col("label").alias("la"))
+    lb = labels.select(F.col("node").alias("b"),
+                       F.col("label").alias("lb"))
+    lab = und.join(la, "a").join(lb, "b")
+    intra = (lab.filter(F.col("la") == F.col("lb"))
+             .groupBy(F.col("la").alias("label"))
+             .agg(F.count(F.lit(1)).alias("intra_edges")))
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+        .join(labels, "node")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_nodes"),
+             F.sum("degree").alias("degree_sum"))
+    )
+    m = und.agg(F.count(F.lit(1)).alias("m"))
+    return (
+        deg.join(intra, "label", "left")
+        .crossJoin(m)
+        .select(
+            "label", "n_nodes",
+            F.coalesce("intra_edges", F.lit(0)).cast("bigint")
+            .alias("intra_edges"),
+            "degree_sum", "m")
+        .select(
+            "label", "n_nodes", "intra_edges", "degree_sum",
+            (F.expr("(1000000000 * intra_edges) div m")
+             - F.expr("((1000000 * degree_sum) div (2 * m))"
+                      " * ((1000000 * degree_sum) div (2 * m))"
+                      " div 1000")).alias("q_x1e9"),
+        )
+    )
+
+
+def sql_modularity(edges_sql: str, labels_sql: str) -> str:
+    """DuckDB twin: same undirected rollup, same double-floor
+    fixed-point recipe."""
+    return f"""
+WITH und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM ({edges_sql}) WHERE src <> dst
+), lab AS ({labels_sql}),
+intra AS (
+  SELECT la.label, count(*)::BIGINT AS intra_edges
+  FROM und
+  JOIN lab la ON la.node = und.a
+  JOIN lab lb ON lb.node = und.b
+  WHERE la.label = lb.label
+  GROUP BY la.label
+), deg AS (
+  SELECT l.label, count(*)::BIGINT AS n_nodes,
+         sum(d.degree)::BIGINT AS degree_sum
+  FROM (
+    SELECT node, count(*)::BIGINT AS degree FROM (
+      SELECT a AS node FROM und UNION ALL SELECT b FROM und
+    ) GROUP BY node
+  ) d JOIN lab l ON l.node = d.node
+  GROUP BY l.label
+), mm AS (SELECT count(*)::BIGINT AS m FROM und)
+SELECT deg.label, deg.n_nodes,
+       coalesce(intra.intra_edges, 0)::BIGINT AS intra_edges,
+       deg.degree_sum,
+       ((1000000000 * coalesce(intra.intra_edges, 0)) // m
+        - ((1000000 * deg.degree_sum) // (2 * m))
+          * ((1000000 * deg.degree_sum) // (2 * m)) // 1000
+       )::BIGINT AS q_x1e9
+FROM deg LEFT JOIN intra USING (label) CROSS JOIN mm
+"""
