@@ -2575,6 +2575,57 @@ def web_url_templates(spark, sf_dir):
     return web.url_templates(d)
 
 
+def kg_entity_cards(spark, sf_dir):
+    """Per-entity node-table materialization (the entity card every
+    KG serving layer wants next to the triples: assertion/reference
+    counts, predicate diversity, degree): two map-side-combined
+    aggs merged by ONE full-outer join on the entity key — see
+    operators/cleankb.py:entity_profile."""
+    from gaia_spark.operators.cleankb import entity_profile
+    return entity_profile(_profile_triples(spark, sf_dir))
+
+
+def graph_neighbor_jaccard(spark, sf_dir):
+    """Neighbor-set Jaccard merge candidates (sameAs suspects by
+    structural overlap — the entity-resolution companion to the RA
+    link predictor): wedge centers capped at deg ≤ 64 (hub guard by
+    design), full degrees in the exact x10k score — see
+    operators/graph.py:neighbor_jaccard."""
+    from gaia_spark.operators.graph import neighbor_jaccard
+    return neighbor_jaccard(_copurchase_edges(spark, sf_dir),
+                            max_degree=64, min_cn=4)
+
+
+def dedup_edit_verify(spark, sf_dir):
+    """Edit-distance verification of candidate near-dup pairs (the
+    fuzzy tier under exact/Jaccard/MinHash — catches OCR/typo-level
+    churn token measures miss): deterministic mutated-copy pairs,
+    Levenshtein + x10k similarity in-row, O(len²) confined to the
+    candidate stream — see functions/dedup.py:edit_similarity."""
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") < 150)
+         .select("doc_id", F.substring("text", 1, 120).alias("text_a")))
+    pairs = d.select(
+        "doc_id", "text_a",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.regexp_replace("text_a", "a", "e"))
+        .otherwise(F.col("text_a")).alias("text_b"))
+    return dd.edit_similarity(pairs)
+
+
+def ann_pq_rerank(spark, sf_dir):
+    """Two-stage ANN serving (the production retrieval shape): PQ/ADC
+    shortlist of 20 per query — raw vectors untouched — then exact
+    cosine rerank over shortlist·|queries| fetched rows only, top-5
+    emitted; both stages pinned by the composed twin — see
+    functions/pq.py:pq_rerank_topk."""
+    from gaia_spark.functions import pq as _pq
+    e = _t(spark, sf_dir, "embeddings")
+    return _pq.pq_rerank_topk(e, e.filter(F.col("vec_id") < 8), k=5,
+                              shortlist=20, n_sub=4, n_codes=8,
+                              iters=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry, ORDER MATTERS: the driver's correctness artifact
     records only the FIRST 50 entries in dict order (observed
@@ -2779,6 +2830,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_temperature": sample_temperature,
         "graph_modularity": graph_modularity,
         "web_url_templates": web_url_templates,
+        "kg_entity_cards": kg_entity_cards,
+        "graph_neighbor_jaccard": graph_neighbor_jaccard,
+        "dedup_edit_verify": dedup_edit_verify,
+        "ann_pq_rerank": ann_pq_rerank,
         # non-SQL-expressible (strongest oracles in pytest: numpy
         # cross-impl / recall bounds / gaia_ref exact-set; kg_* rows
         # were driver-recorded as rows-only in r1)
@@ -3831,6 +3886,25 @@ GROUP BY 1, 2, 3
         _SQL_COPURCHASE, _sql_lp4(_SQL_COPURCHASE, rounds=4))
     sql["web_url_templates"] = _web.sql_url_templates(
         f"SELECT {_web.sql_synth_url()} AS url FROM documents")
+    from gaia_spark.operators.cleankb import sql_entity_profile
+    sql["kg_entity_cards"] = sql_entity_profile(_SQL_PROFILE_TRIPLES)
+    from gaia_spark.operators.graph import (
+        sql_neighbor_jaccard as _sql_njac,
+    )
+    sql["graph_neighbor_jaccard"] = _sql_njac(
+        _SQL_COPURCHASE, max_degree=64, min_cn=4)
+    sql["dedup_edit_verify"] = dd.sql_edit_similarity("""
+        SELECT doc_id, text_a,
+               CASE WHEN doc_id % 3 = 0
+                    THEN regexp_replace(text_a, 'a', 'e', 'g')
+                    ELSE text_a END AS text_b
+        FROM (SELECT doc_id, substr(text, 1, 120) AS text_a
+              FROM documents WHERE doc_id < 150)
+    """)
+    from gaia_spark.functions.pq import sql_pq_rerank_topk
+    sql["ann_pq_rerank"] = sql_pq_rerank_topk(
+        "embeddings", k=5, shortlist=20, n_sub=4, n_codes=8,
+        iters=2, dim=64, query_where="vec_id < 8")
     sql["streaming_enrich"] = """
         SELECT coalesce(c.c_mktsegment, 'UNMATCHED') AS segment,
                count(*)::BIGINT AS n_events,

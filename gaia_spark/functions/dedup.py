@@ -996,3 +996,56 @@ SELECT {id_col}::BIGINT AS doc_id, md5({text_col}) AS fp
 FROM ({new_rel})
 WHERE md5({text_col}) NOT IN (SELECT md5({text_col}) FROM ({old_rel}))
 """
+
+
+def edit_similarity(pairs: DataFrame,
+                    a_col: str = "text_a",
+                    b_col: str = "text_b") -> DataFrame:
+    """Edit-distance verification for candidate near-dup pairs →
+    input columns + (len_a, len_b, lev, sim_x10k).
+
+    The FUZZY verification tier under the exact/Jaccard/MinHash
+    family: token-level measures miss single-character churn
+    (OCR noise, typo farms, template fills), Levenshtein catches it.
+    ``sim_x10k = 10000 − (10000·lev) div max(len_a, len_b, 1)`` —
+    pure integers; both engines implement classic Levenshtein (ASCII
+    / codepoint-exact, no unicode-normalization divergence on the
+    pipeline's canonicalized text).
+
+    Scale discipline: O(len²) per pair means this NEVER runs on the
+    corpus cross product — it verifies an upstream candidate
+    generator's pairs (LSH bands, prefix filter, embedding blocks),
+    exactly like jaccard_for_pairs.  Pure in-row codegen over the
+    pair stream; text enters the plan only on the candidate rows.
+    """
+    la = F.length(F.col(a_col)).cast("bigint")
+    lb = F.length(F.col(b_col)).cast("bigint")
+    lev = F.levenshtein(F.col(a_col), F.col(b_col)).cast("bigint")
+    return (pairs
+            .withColumn("len_a", la)
+            .withColumn("len_b", lb)
+            .withColumn("lev", lev)
+            .withColumn(
+                "sim_x10k",
+                F.lit(10000).cast("bigint")
+                - F.expr("(10000 * lev) div greatest(len_a, len_b, 1)")
+            ))
+
+
+def sql_edit_similarity(pairs_sql: str,
+                        a_col: str = "text_a",
+                        b_col: str = "text_b") -> str:
+    """DuckDB twin of :func:`edit_similarity` (levenshtein is the
+    same classic DP on both engines)."""
+    return f"""
+SELECT *,
+       (10000 - (10000 * lev) // greatest(len_a, len_b, 1))::BIGINT
+         AS sim_x10k
+FROM (
+  SELECT p.*,
+         length({a_col})::BIGINT AS len_a,
+         length({b_col})::BIGINT AS len_b,
+         levenshtein({a_col}, {b_col})::BIGINT AS lev
+  FROM ({pairs_sql}) p
+)
+"""

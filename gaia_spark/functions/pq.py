@@ -267,3 +267,101 @@ SELECT query_id, neighbor_id,
 FROM adc
 QUALIFY rank <= {k}"""
     )
+
+
+def pq_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 20,
+    n_sub: int = 4,
+    n_codes: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN serving: PQ/ADC shortlist → EXACT cosine rerank
+    → (query_id, neighbor_id, rank, sim_x10k).
+
+    The canonical production retrieval shape: the compressed index
+    prunes the corpus to ``shortlist`` candidates per query (raw
+    vectors untouched — the ADC stage reads codes only), then raw
+    vectors are fetched for shortlist·|queries| rows ONLY and scored
+    exactly.  Rerank repairs most of the quantization ranking error
+    while touching ~shortlist/|corpus| of the raw data — the
+    recall-vs-IO dial every vector store exposes.
+
+    Determinism: the shortlist is the exact-int64 ADC top-k (total
+    (dist, neighbor) order), the rerank re-sorts by floor-x10k
+    cosine with a neighbor-id tie-break — both stages pinned by the
+    composed DuckDB twin.
+    """
+    from gaia_spark.functions.similarity import cosine_col
+    from gaia_spark.functions.text_analysis import SCALE
+
+    cand = pq_topk(corpus, queries, k=shortlist, n_sub=n_sub,
+                   n_codes=n_codes, iters=iters,
+                   id_col=id_col, vec_col=vec_col)
+    as_dbl = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    qv = queries.select(F.col(id_col).alias("query_id"),
+                        as_dbl(F.col(vec_col)).alias("qv"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       as_dbl(F.col(vec_col)).alias("cv"))
+    sims = (
+        cand.select("query_id", "neighbor_id")
+        .join(qv, "query_id").join(cv, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id",
+            F.floor(F.lit(SCALE)
+                    * cosine_col(F.col("qv"), F.col("cv")))
+            .cast("bigint").alias("sim_x10k"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_x10k").desc(), F.col("neighbor_id"))
+    return (sims.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id",
+                    F.col("rank").cast("int").alias("rank"),
+                    "sim_x10k"))
+
+
+def sql_pq_rerank_topk(
+    rel: str,
+    k: int = 5,
+    shortlist: int = 20,
+    n_sub: int = 4,
+    n_codes: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    query_where: str = "vec_id < 8",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin: the full PQ shortlist chain as a CTE, then the
+    same exact-cosine rerank."""
+    short = sql_pq_topk(rel, shortlist, n_sub, n_codes, iters, dim,
+                        query_where, id_col, vec_col)
+    return f"""
+WITH short AS ({short}),
+qv AS (SELECT {id_col} AS query_id, {vec_col} AS q FROM {rel}
+       WHERE {query_where}),
+cv AS (SELECT {id_col} AS neighbor_id, {vec_col} AS c FROM {rel}),
+sims AS (
+  SELECT s.query_id, s.neighbor_id,
+         floor(10000 *
+           list_sum(list_transform(list_zip(q, c),
+                    z -> z[1]::DOUBLE * z[2]::DOUBLE))
+           / ( sqrt(list_sum(list_transform(q,
+                 x -> x::DOUBLE * x::DOUBLE)))
+             * sqrt(list_sum(list_transform(c,
+                 x -> x::DOUBLE * x::DOUBLE))) ))::BIGINT AS sim_x10k
+  FROM short s JOIN qv USING (query_id) JOIN cv USING (neighbor_id)
+)
+SELECT query_id, neighbor_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY sim_x10k DESC, neighbor_id)::INT
+         AS rank,
+       sim_x10k
+FROM sims
+QUALIFY rank <= {k}
+"""

@@ -226,3 +226,61 @@ ent AS (
 SELECT node, type, count(*)::BIGINT AS n_evidence
 FROM ent GROUP BY node, type
 """
+
+
+def entity_profile(triples: DataFrame) -> DataFrame:
+    """Per-entity card over a (subj, pred, obj) table → (entity,
+    n_as_subj, n_as_obj, n_preds_out, n_preds_in, degree).
+
+    The node-table materialization step of "canonicalize into a
+    node/edge graph": every KG serving layer wants a per-entity
+    summary row (how asserted, how referenced, predicate diversity)
+    next to the raw triples — it drives linker QA (an entity that is
+    object-only with one inbound predicate is a typo candidate),
+    broadcast-gate sizing, and hub detection before graph kernels.
+
+    Scale shape: two map-side-combined aggregates (subj-keyed and
+    obj-keyed, each with a small exact count-distinct over the
+    pred vocabulary) merged by ONE full-outer join on the entity
+    key.  Strings beyond the entity id never travel.
+    """
+    as_subj = triples.groupBy(F.col("subj").alias("entity")).agg(
+        F.count(F.lit(1)).alias("n_as_subj"),
+        F.countDistinct("pred").alias("n_preds_out"))
+    as_obj = triples.groupBy(F.col("obj").alias("entity")).agg(
+        F.count(F.lit(1)).alias("n_as_obj"),
+        F.countDistinct("pred").alias("n_preds_in"))
+    j = as_subj.join(as_obj, "entity", "full_outer")
+    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("bigint")  # noqa: E731
+    return j.select(
+        "entity",
+        z("n_as_subj").alias("n_as_subj"),
+        z("n_as_obj").alias("n_as_obj"),
+        z("n_preds_out").alias("n_preds_out"),
+        z("n_preds_in").alias("n_preds_in"),
+        (z("n_as_subj") + z("n_as_obj")).alias("degree"),
+    )
+
+
+def sql_entity_profile(triples_sql: str) -> str:
+    """DuckDB twin of :func:`entity_profile`."""
+    return f"""
+WITH t AS ({triples_sql}),
+s AS (
+  SELECT subj AS entity, count(*)::BIGINT AS n_as_subj,
+         count(DISTINCT pred)::BIGINT AS n_preds_out
+  FROM t GROUP BY subj
+), o AS (
+  SELECT obj AS entity, count(*)::BIGINT AS n_as_obj,
+         count(DISTINCT pred)::BIGINT AS n_preds_in
+  FROM t GROUP BY obj
+)
+SELECT coalesce(s.entity, o.entity) AS entity,
+       coalesce(s.n_as_subj, 0)::BIGINT AS n_as_subj,
+       coalesce(o.n_as_obj, 0)::BIGINT AS n_as_obj,
+       coalesce(s.n_preds_out, 0)::BIGINT AS n_preds_out,
+       coalesce(o.n_preds_in, 0)::BIGINT AS n_preds_in,
+       (coalesce(s.n_as_subj, 0) + coalesce(o.n_as_obj, 0))::BIGINT
+         AS degree
+FROM s FULL OUTER JOIN o ON s.entity = o.entity
+"""

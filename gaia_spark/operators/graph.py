@@ -1978,3 +1978,87 @@ SELECT deg.label, deg.n_nodes,
        )::BIGINT AS q_x1e9
 FROM deg LEFT JOIN intra USING (label) CROSS JOIN mm
 """
+
+
+def neighbor_jaccard(edges: DataFrame, max_degree: int = 64,
+                     min_cn: int = 2) -> DataFrame:
+    """Structural node similarity → (a, b, common, deg_a, deg_b,
+    j_x10k): neighbor-set Jaccard for every node pair sharing
+    ``>= min_cn`` common neighbors, exact x10k integers.
+
+    The entity-resolution signal next to link_prediction's RA
+    index: two KG nodes whose neighborhoods overlap heavily are
+    merge candidates (sameAs suspects) even with no direct edge.
+    Same hub discipline as link_prediction — wedge CENTERS above
+    ``max_degree`` contribute no pairs (a mega-hub would mint
+    degree² candidates; the LSH hot-bucket lesson applied at design
+    time), while deg_a/deg_b in the Jaccard stay the FULL degrees,
+    so the score is exact for every emitted pair.
+
+    Scale shape: one degree aggregate, one capped wedge self-join
+    (per-center fan-out ≤ max_degree²), one (a, b) map-side-combined
+    count, two degree re-attach joins on node keys.
+    """
+    und = _undirected(edges).localCheckpoint()
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    )
+    sym = (und.select(F.col("a").alias("c"), F.col("b").alias("n"))
+           .unionByName(
+               und.select(F.col("b").alias("c"), F.col("a").alias("n"))))
+    centers = deg.filter(F.col("degree") <= max_degree) \
+                 .select(F.col("node").alias("c"))
+    capped = sym.join(centers, "c", "left_semi")
+    x = capped.select("c", F.col("n").alias("a"))
+    y = capped.select("c", F.col("n").alias("b"))
+    pairs = (
+        x.join(y, "c")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(F.col("common") >= min_cn)
+    )
+    da = deg.select(F.col("node").alias("a"),
+                    F.col("degree").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"),
+                    F.col("degree").alias("deg_b"))
+    return (
+        pairs.join(da, "a").join(db, "b")
+        .select(
+            "a", "b", "common", "deg_a", "deg_b",
+            F.expr("(10000 * common) div (deg_a + deg_b - common)")
+            .alias("j_x10k"))
+    )
+
+
+def sql_neighbor_jaccard(edges_sql: str, max_degree: int = 64,
+                         min_cn: int = 2) -> str:
+    """DuckDB twin of :func:`neighbor_jaccard`."""
+    return f"""
+WITH und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM ({edges_sql}) WHERE src <> dst
+), deg AS (
+  SELECT node, count(*)::BIGINT AS degree FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY node
+), sym AS (
+  SELECT a AS c, b AS n FROM und UNION ALL SELECT b, a FROM und
+), capped AS (
+  SELECT s.c, s.n FROM sym s
+  JOIN deg d ON d.node = s.c AND d.degree <= {max_degree}
+), pairs AS (
+  SELECT x.n AS a, y.n AS b, count(*)::BIGINT AS common
+  FROM capped x JOIN capped y ON x.c = y.c AND x.n < y.n
+  GROUP BY x.n, y.n
+  HAVING count(*) >= {min_cn}
+)
+SELECT p.a, p.b, p.common, da.degree AS deg_a, db.degree AS deg_b,
+       ((10000 * p.common) // (da.degree + db.degree - p.common))
+         ::BIGINT AS j_x10k
+FROM pairs p
+JOIN deg da ON da.node = p.a
+JOIN deg db ON db.node = p.b
+"""
