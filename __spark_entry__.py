@@ -2626,6 +2626,67 @@ def ann_pq_rerank(spark, sf_dir):
                               iters=2)
 
 
+def kg_anchor_prior(spark, sf_dir):
+    """Anchor-text → destination link priors (the web's own
+    disambiguation votes — the dictionary a fast entity linker
+    broadcasts before any context model): exact x10k P(dst|anchor)
+    with per-anchor rank; html consumed in-row, one pair count + a
+    vocabulary-scale marginal join + a per-anchor bounded window —
+    see functions/web.py:anchor_priors."""
+    from gaia_spark.functions import web
+    d = _t(spark, sf_dir, "documents").select(
+        web.synth_html(F.col("doc_id"), F.col("source"),
+                       F.col("text")).alias("html"))
+    return web.anchor_priors(d, min_total=2)
+
+
+def graph_bipartite(spark, sf_dir):
+    """Bipartiteness per component via the double-cover reduction
+    (v#0/v#1 copies; odd cycle ⟺ copies merge) — the global detector
+    for role-merge linker errors in should-be-bipartite relation
+    subgraphs; inherits pointer-doubling O(log d) + raise-on-partial
+    from the CC kernel — see operators/graph.py:bipartite_check.
+    Sparser co-purchase slice (%16) keeps the recursive-CTE twin's
+    reach table small; the Spark kernel itself is scale-generic."""
+    from gaia_spark.operators.graph import bipartite_check
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_orderkey") % 16 == 0)
+          .select("l_orderkey", "l_partkey"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("r_partkey"))
+    edges = (li.join(b, "l_orderkey")
+             .filter(F.col("l_partkey") < F.col("r_partkey"))
+             .select(F.col("l_partkey").cast("string").alias("src"),
+                     F.col("r_partkey").cast("string").alias("dst")))
+    return bipartite_check(edges)
+
+
+def events_burst(spark, sf_dir):
+    """Trailing-window burst detection over the event stream (crawl
+    /ingest rate anomalies): per (event_type, hour) counts vs the
+    sum of the 3 preceding hours, exact x100 ratio, flag at ≥ 3×.
+    One map-side-combined hourly rollup + one per-type window over
+    vocabulary-scale rows (|types|·|hours|, never the event
+    stream)."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", F.col("ts"))
+                         .alias("hour"))
+              .agg(F.count(F.lit(1)).alias("n_events")))
+    w = Window.partitionBy("event_type").orderBy("hour")
+    trail = (hourly
+             .withColumn("trailing_sum",
+                         F.sum("n_events").over(
+                             w.rowsBetween(-3, -1)))
+             .withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") >= 4))
+    return trail.select(
+        "event_type", "hour", "n_events",
+        F.col("trailing_sum").cast("bigint").alias("trailing_sum"),
+        F.expr("(300 * n_events) div trailing_sum")
+        .alias("ratio_x100"),
+    ).withColumn("is_burst", F.col("ratio_x100") >= 300)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry, ORDER MATTERS: the driver's correctness artifact
     records only the FIRST 50 entries in dict order (observed
@@ -2834,6 +2895,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_neighbor_jaccard": graph_neighbor_jaccard,
         "dedup_edit_verify": dedup_edit_verify,
         "ann_pq_rerank": ann_pq_rerank,
+        "kg_anchor_prior": kg_anchor_prior,
+        "graph_bipartite": graph_bipartite,
+        "events_burst": events_burst,
         # non-SQL-expressible (strongest oracles in pytest: numpy
         # cross-impl / recall bounds / gaia_ref exact-set; kg_* rows
         # were driver-recorded as rows-only in r1)
@@ -3905,6 +3969,35 @@ GROUP BY 1, 2, 3
     sql["ann_pq_rerank"] = sql_pq_rerank_topk(
         "embeddings", k=5, shortlist=20, n_sub=4, n_codes=8,
         iters=2, dim=64, query_where="vec_id < 8")
+    sql["kg_anchor_prior"] = _web.sql_anchor_priors(
+        f"SELECT {_web.sql_synth_html()} AS html FROM documents",
+        min_total=2)
+    from gaia_spark.operators.graph import (
+        sql_bipartite_check as _sql_bip,
+    )
+    sql["graph_bipartite"] = _sql_bip(
+        _SQL_COPURCHASE.replace("% 4", "% 16"))
+    sql["events_burst"] = """
+        WITH hourly AS (
+          SELECT event_type, date_trunc('hour', ts) AS hour,
+                 count(*)::BIGINT AS n_events
+          FROM events GROUP BY 1, 2
+        ), trail AS (
+          SELECT event_type, hour, n_events,
+                 sum(n_events) OVER (
+                   PARTITION BY event_type ORDER BY hour
+                   ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+                   ::BIGINT AS trailing_sum,
+                 row_number() OVER (
+                   PARTITION BY event_type ORDER BY hour) AS rn
+          FROM hourly
+        )
+        SELECT event_type, hour, n_events, trailing_sum,
+               ((300 * n_events) // trailing_sum)::BIGINT
+                 AS ratio_x100,
+               ((300 * n_events) // trailing_sum) >= 300 AS is_burst
+        FROM trail WHERE rn >= 4
+    """
     sql["streaming_enrich"] = """
         SELECT coalesce(c.c_mktsegment, 'UNMATCHED') AS segment,
                count(*)::BIGINT AS n_events,

@@ -964,3 +964,90 @@ SELECT regexp_replace(path, '[0-9]+', '{{n}}', 'g') AS template,
 FROM parts
 GROUP BY 1
 """
+
+
+def anchor_priors(df: DataFrame, html_col: str = "html",
+                  min_total: int = 2) -> DataFrame:
+    """Anchor-text → destination priors → (anchor, dst_host, cnt,
+    n_total, prior_x10k, rank): P(destination | anchor surface form),
+    the classic link-prior an entity linker consults before any
+    context model (the web's own disambiguation votes — "apple"
+    overwhelmingly links to one host).
+
+    The inverse direction of :func:`anchor_stats` (which profiles a
+    HOST by its inlink anchors; this profiles a SURFACE FORM by its
+    destinations).  Exact x10k integer priors; ``rank`` orders
+    destinations per anchor by (cnt desc, dst_host) — rank 1 is the
+    dictionary row a fast linker broadcasts.
+
+    Scale shape: html consumed in-row (only (anchor, dst_host) pairs
+    leave the scan), one map-side-combined pair count, an anchor-
+    keyed marginal re-attached by a vocabulary-scale join, and a
+    per-anchor window bounded by that anchor's DISTINCT destination
+    count (never the corpus).  Anchors below ``min_total`` total
+    occurrences are pruned — the long tail carries no prior signal
+    and would dominate the output row count.
+    """
+    links = F.regexp_extract_all(
+        F.col(html_col), F.lit(ANCHOR_TEXT_RE), F.lit(1))
+    anchors = F.regexp_extract_all(
+        F.col(html_col), F.lit(ANCHOR_TEXT_RE), F.lit(2))
+    pairs = (
+        df.select(F.explode(F.zip_with(
+            links, anchors,
+            lambda l, a: F.struct(l.alias("link"), a.alias("anchor"))
+        )).alias("z"))
+        .select(
+            F.lower(F.trim(F.col("z.anchor"))).alias("anchor"),
+            F.lower(F.regexp_extract("z.link", HOST_RE, 1))
+            .alias("dst_host"))
+        .filter(F.col("anchor") != "")
+    )
+    per_pair = (pairs.groupBy("anchor", "dst_host")
+                .agg(F.count(F.lit(1)).alias("cnt")))
+    marginal = (per_pair.groupBy("anchor")
+                .agg(F.sum("cnt").alias("n_total"))
+                .filter(F.col("n_total") >= min_total))
+    w = Window.partitionBy("anchor").orderBy(
+        F.col("cnt").desc(), F.col("dst_host"))
+    return (
+        per_pair.join(marginal, "anchor")
+        .select("anchor", "dst_host", "cnt", "n_total",
+                F.expr("(10000 * cnt) div n_total")
+                .alias("prior_x10k"))
+        .withColumn("rank",
+                    F.row_number().over(w).cast("int"))
+    )
+
+
+def sql_anchor_priors(pages: str, html_col: str = "html",
+                      min_total: int = 2) -> str:
+    """DuckDB twin of :func:`anchor_priors`."""
+    return f"""
+WITH pairs AS (
+  SELECT lower(trim(anchor)) AS anchor,
+         lower(regexp_extract(link, '{HOST_RE}', 1)) AS dst_host
+  FROM (
+    SELECT
+      unnest(regexp_extract_all({html_col}, '{ANCHOR_TEXT_RE}', 1))
+        AS link,
+      unnest(regexp_extract_all({html_col}, '{ANCHOR_TEXT_RE}', 2))
+        AS anchor
+    FROM ({pages})
+  )
+  WHERE lower(trim(anchor)) <> ''
+), per_pair AS (
+  SELECT anchor, dst_host, count(*)::BIGINT AS cnt
+  FROM pairs GROUP BY anchor, dst_host
+), marginal AS (
+  SELECT anchor, sum(cnt)::BIGINT AS n_total
+  FROM per_pair GROUP BY anchor
+  HAVING sum(cnt) >= {min_total}
+)
+SELECT p.anchor, p.dst_host, p.cnt, m.n_total,
+       ((10000 * p.cnt) // m.n_total)::BIGINT AS prior_x10k,
+       row_number() OVER (PARTITION BY p.anchor
+                          ORDER BY p.cnt DESC, p.dst_host)::INT
+         AS rank
+FROM per_pair p JOIN marginal m USING (anchor)
+"""

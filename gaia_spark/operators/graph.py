@@ -2062,3 +2062,96 @@ FROM pairs p
 JOIN deg da ON da.node = p.a
 JOIN deg db ON db.node = p.b
 """
+
+
+def bipartite_check(edges: DataFrame) -> DataFrame:
+    """Bipartiteness per connected component → (component, n_nodes,
+    is_bipartite), via the DOUBLE-COVER reduction: split every node
+    v into v#0 / v#1, map each undirected edge (a, b) to the cover
+    edges (a#0, b#1) and (a#1, b#0) — the component of the cover is
+    connected across the two copies of v iff v lies on an odd cycle,
+    so a component is bipartite iff NO node's two copies share a
+    cover component.
+
+    KG use: relation-specific subgraphs that SHOULD be bipartite
+    (entity–attribute, page–entity, author–paper) grow odd cycles
+    exactly when the linker merges two roles into one node — this is
+    the global detector for that class of merge error.
+
+    The reduction inherits pointer-doubling O(log diameter)
+    convergence and the raise-on-partial contract from
+    ``connected_components`` — a direct BFS 2-coloring would be
+    O(diameter) rounds.  Scale shape: the cover doubles edges and
+    nodes (constant factor); everything else is two CC runs plus a
+    node-keyed self-join of the cover labels and one component-keyed
+    map-side-combined aggregate.
+    """
+    und = _undirected(edges).localCheckpoint()
+    base = und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    cover = (
+        und.select(F.concat("a", F.lit("#0")).alias("src"),
+                   F.concat("b", F.lit("#1")).alias("dst"))
+        .unionByName(
+            und.select(F.concat("a", F.lit("#1")).alias("src"),
+                       F.concat("b", F.lit("#0")).alias("dst")))
+    )
+    cov = connected_components(cover)
+    node = F.expr("substring(node, 1, length(node) - 2)")
+    c0 = (cov.filter(F.col("node").endswith("#0"))
+          .select(node.alias("node"), F.col("component").alias("c0")))
+    c1 = (cov.filter(F.col("node").endswith("#1"))
+          .select(node.alias("node"), F.col("component").alias("c1")))
+    odd = (c0.join(c1, "node")
+           .select("node",
+                   (F.col("c0") == F.col("c1")).cast("int")
+                   .alias("on_odd")))
+    comp = connected_components(base)
+    return (
+        comp.join(odd, "node")
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_nodes"),
+             (F.max("on_odd") == 0).alias("is_bipartite"))
+    )
+
+
+def sql_bipartite_check(edges_sql: str) -> str:
+    """DuckDB twin: recursive min-label CC on the cover and the base
+    graph (the driver-oracle pattern of rel_connected_components),
+    same per-component odd-copy aggregate."""
+    return f"""
+WITH RECURSIVE und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM ({edges_sql}) WHERE src <> dst
+), cover AS (
+  SELECT a || '#0' AS src, b || '#1' AS dst FROM und
+  UNION ALL SELECT a || '#1', b || '#0' FROM und
+), csym AS (
+  SELECT src, dst FROM cover UNION SELECT dst, src FROM cover
+), creach(node, comp) AS (
+  SELECT src, src FROM csym
+  UNION
+  SELECT e.src, r.comp FROM csym e JOIN creach r ON e.dst = r.node
+), clab AS (
+  SELECT node, min(comp) AS component FROM creach GROUP BY node
+), bsym AS (
+  SELECT a AS src, b AS dst FROM und UNION SELECT b, a FROM und
+), breach(node, comp) AS (
+  SELECT src, src FROM bsym
+  UNION
+  SELECT e.src, r.comp FROM bsym e JOIN breach r ON e.dst = r.node
+), blab AS (
+  SELECT node, min(comp) AS component FROM breach GROUP BY node
+), odd AS (
+  SELECT substr(c0.node, 1, length(c0.node) - 2) AS node,
+         CASE WHEN c0.component = c1.component THEN 1 ELSE 0 END
+           AS on_odd
+  FROM clab c0 JOIN clab c1
+    ON substr(c0.node, 1, length(c0.node) - 2)
+       = substr(c1.node, 1, length(c1.node) - 2)
+   AND c0.node LIKE '%#0' AND c1.node LIKE '%#1'
+)
+SELECT b.component, count(*)::BIGINT AS n_nodes,
+       (max(o.on_odd) = 0) AS is_bipartite
+FROM blab b JOIN odd o ON o.node = b.node
+GROUP BY b.component
+"""
