@@ -236,3 +236,69 @@ SELECT doc_id, n_occurrences FROM (
 )
 WHERE n_occurrences >= 1
 """
+
+
+#: RRF smoothing constant (the standard k=60 of Cormack et al. 2009)
+RRF_K = 60
+
+#: RRF fixed-point unit
+RRF_SCALE = 1_000_000
+
+
+def rrf_fuse(rankings: list[DataFrame], k: int = 20,
+             id_col: str = "doc_id") -> DataFrame:
+    """Reciprocal-rank fusion of N ranked lists → (doc_id,
+    rrf_x1e6, rank): ``rrf = Σ_lists 10^6 div (60 + rank_i)`` over
+    the lists that contain the doc, re-ranked by (score desc, id).
+
+    The standard zero-training ranker combiner (Cormack et al.
+    2009): BM25 lists for different query facets, or a lexical list
+    plus an ANN list, fuse without score calibration because only
+    RANKS enter.  Integer floor division makes the fused score
+    engine-exact — float 1/(k+r) sums would tie-break differently
+    across ulps.
+
+    Scale shape: each input is already a top-k (skinny); the fusion
+    is one union + one id-keyed map-side-combined sum + a global
+    TakeOrderedAndProject cut — no corpus access at all.
+    """
+    assert rankings, "rrf_fuse needs at least one ranking"
+    parts = [
+        r.select(F.col(id_col).alias("doc_id"),
+                 F.expr(f"{RRF_SCALE} div ({RRF_K} + rank)")
+                 .alias("part"))
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = (u.groupBy("doc_id")
+             .agg(F.sum("part").cast("bigint").alias("rrf_x1e6")))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col("rrf_x1e6").desc(), F.col("doc_id"))
+    return (fused.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("doc_id", "rrf_x1e6",
+                    F.col("rank").cast("int").alias("rank")))
+
+
+def sql_rrf_fuse(ranking_sqls: list[str], k: int = 20,
+                 id_col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`rrf_fuse` over ranking subqueries that
+    each expose (doc_id, rank)."""
+    parts = " UNION ALL ".join(
+        f"SELECT {id_col} AS doc_id, "
+        f"{RRF_SCALE} // ({RRF_K} + rank) AS part FROM ({r})"
+        for r in ranking_sqls)
+    return f"""
+WITH parts AS ({parts}),
+fused AS (
+  SELECT doc_id, sum(part)::BIGINT AS rrf_x1e6
+  FROM parts GROUP BY doc_id
+)
+SELECT doc_id, rrf_x1e6,
+       row_number() OVER (ORDER BY rrf_x1e6 DESC, doc_id)::INT
+         AS rank
+FROM fused
+QUALIFY rank <= {k}
+"""

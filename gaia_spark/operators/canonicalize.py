@@ -214,3 +214,73 @@ def graph_edges(triples: DataFrame, stable_input: bool = False) -> DataFrame:
         )
     )
     return agged if unique is None else unique.unionByName(agged)
+
+
+def sameas_rewrite(triples: DataFrame, sameas: DataFrame) -> DataFrame:
+    """owl:sameAs canonicalization: rewrite every triple onto the
+    canonical member of its subject's / object's equivalence class
+    → DISTINCT (subj, pred, obj).
+
+    The cross-document identity step of "canonicalize into a
+    deduplicated node/edge graph": linking emits sameAs pairs
+    (alias hits, NIL-cluster merges, visual coref), and every
+    downstream consumer wants ONE node per real-world entity.  The
+    canonical id is the lexicographic min of the equivalence class
+    (connected components over the sameAs pairs — transitive by
+    construction, so a#b, b#c rewrites c onto a), an order-free
+    choice identical under any partitioning.
+
+    Scale shape: CC runs over the SPARSE sameAs pair set only (never
+    the triple table); the resulting map drops identity rows
+    (node = component) so only entities that actually move ride the
+    two entity-keyed rewrite joins — broadcast while the moved set
+    is dictionary-sized (the common case: merges are rare relative
+    to triples), shuffle-join otherwise.  The final distinct is the
+    same (subj, pred, obj) map-side-combined dedup T11 uses.
+    """
+    from gaia_spark.operators.graph import connected_components
+
+    labels = connected_components(
+        sameas.select(F.col("subj").alias("src"),
+                      F.col("obj").alias("dst")))
+    moves = (labels.filter(F.col("node") != F.col("component"))
+             .localCheckpoint())
+    ms = moves.select(F.col("node").alias("subj"),
+                      F.col("component").alias("s_canon"))
+    mo = moves.select(F.col("node").alias("obj"),
+                      F.col("component").alias("o_canon"))
+    return (
+        triples.join(ms, "subj", "left").join(mo, "obj", "left")
+        .select(
+            F.coalesce("s_canon", F.col("subj")).alias("subj"),
+            "pred",
+            F.coalesce("o_canon", F.col("obj")).alias("obj"))
+        .distinct()
+    )
+
+
+def sql_sameas_rewrite(triples_sql: str, sameas_sql: str) -> str:
+    """DuckDB twin: recursive min-label CC over the sameAs pairs,
+    same left-join rewrite + distinct."""
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT subj AS src, obj AS dst FROM ({sameas_sql})
+), sym AS (
+  SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+), reach(node, comp) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT e.src, r.comp FROM sym e JOIN reach r ON e.dst = r.node
+), lab AS (
+  SELECT node, min(comp) AS component FROM reach GROUP BY node
+), moves AS (
+  SELECT node, component FROM lab WHERE node <> component
+)
+SELECT DISTINCT
+       coalesce(ms.component, t.subj) AS subj,
+       t.pred,
+       coalesce(mo.component, t.obj) AS obj
+FROM ({triples_sql}) t
+LEFT JOIN moves ms ON ms.node = t.subj
+LEFT JOIN moves mo ON mo.node = t.obj
+"""
