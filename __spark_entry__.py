@@ -2764,6 +2764,40 @@ def kg_sameas(spark, sf_dir):
     return sameas_rewrite(triples, pairs)
 
 
+def cls_calibration(spark, sf_dir):
+    """Score-calibration table for the in-engine perceptron quality
+    gate (precision per margin band — the artifact you read before
+    picking a keep threshold over 10^12 docs): ONE map-side-combined
+    bucket aggregate sharing the scoring scan — see
+    functions/classifier.py:calibration_table."""
+    from gaia_spark.functions import classifier
+    scored = classifier.perceptron_scores(
+        _t(spark, sf_dir, "documents"), rounds=3)
+    return classifier.calibration_table(scored, bucket=500)
+
+
+def graph_boruvka(spark, sf_dir):
+    """Borůvka minimum spanning forest (the cheapest connectivity
+    certificate — the forest path between two merged entities IS the
+    merge-evidence chain) under a deterministic injective edge
+    order: per round one per-component argmin + CC contraction,
+    components at least halve, raise-on-partial — see
+    operators/graph.py:boruvka_forest.  Sparse co-purchase slice
+    (%64) keeps the twin's per-round recursive relabel small; the
+    Spark kernel is scale-generic (forest-only CC, pointer
+    doubling)."""
+    from gaia_spark.operators.graph import boruvka_forest
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_orderkey") % 64 == 0)
+          .select("l_orderkey", "l_partkey"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("r_partkey"))
+    edges = (li.join(b, "l_orderkey")
+             .filter(F.col("l_partkey") < F.col("r_partkey"))
+             .select(F.col("l_partkey").cast("string").alias("src"),
+                     F.col("r_partkey").cast("string").alias("dst")))
+    return boruvka_forest(edges, rounds=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry, ORDER MATTERS: the driver's correctness artifact
     records only the FIRST 50 entries in dict order (observed
@@ -2977,6 +3011,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_burst": events_burst,
         "text_rrf": text_rrf,
         "kg_sameas": kg_sameas,
+        "cls_calibration": cls_calibration,
+        "graph_boruvka": graph_boruvka,
         # non-SQL-expressible (strongest oracles in pytest: numpy
         # cross-impl / recall bounds / gaia_ref exact-set; kg_* rows
         # were driver-recorded as rows-only in r1)
@@ -4085,6 +4121,17 @@ GROUP BY 1, 2, 3
     from gaia_spark.operators.canonicalize import sql_sameas_rewrite
     sql["kg_sameas"] = sql_sameas_rewrite(_SQL_CONTAINS_TRIPLES,
                                           _SQL_SAMEAS_PAIRS)
+    from gaia_spark.functions.classifier import (
+        sql_calibration_table,
+        sql_perceptron_scores,
+    )
+    sql["cls_calibration"] = sql_calibration_table(
+        sql_perceptron_scores("documents", rounds=3), bucket=500)
+    from gaia_spark.operators.graph import (
+        sql_boruvka_forest as _sql_bor,
+    )
+    sql["graph_boruvka"] = _sql_bor(
+        _SQL_COPURCHASE.replace("% 4", "% 64"), rounds=8)
     sql["streaming_enrich"] = """
         SELECT coalesce(c.c_mktsegment, 'UNMATCHED') AS segment,
                count(*)::BIGINT AS n_events,

@@ -194,3 +194,46 @@ SELECT f.doc_id,
        (CASE WHEN {m} > 0 THEN 1 ELSE 0 END)::BIGINT AS pred,
        f.y AS label
 FROM feats f, w_{rounds} w""")
+
+
+def calibration_table(scored: DataFrame,
+                      bucket: int = 500) -> DataFrame:
+    """Score-calibration table over classifier output → per margin
+    bucket (margin div ``bucket``): (bucket, n, n_pos, prec_x10k,
+    pos_rate_x10k).
+
+    The standard eval artifact for a quality gate: before picking a
+    keep threshold over 10^12 documents you read precision per score
+    band, not one global accuracy.  Exact integers (floor-div bucket
+    + x10k rates) so the table is hash-identical cross-engine.
+
+    Scale shape: ONE map-side-combined aggregate over vocabulary-
+    scale buckets — the corpus is touched exactly once, after the
+    scoring pass it shares a scan with.
+    """
+    return (
+        scored.groupBy(
+            F.expr(f"margin div {bucket}").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("label").cast("bigint").alias("n_pos"),
+             F.sum(F.expr("CASE WHEN pred = 1 AND label = 1 THEN 1 "
+                          "ELSE 0 END")).cast("bigint").alias("n_tp"))
+        .select(
+            "bucket", "n", "n_pos",
+            F.expr("(10000 * n_pos) div n").alias("pos_rate_x10k"),
+            "n_tp")
+    )
+
+
+def sql_calibration_table(scored_sql: str, bucket: int = 500) -> str:
+    """DuckDB twin of :func:`calibration_table`."""
+    return f"""
+SELECT margin // {bucket} AS bucket,
+       count(*)::BIGINT AS n,
+       sum(label)::BIGINT AS n_pos,
+       ((10000 * sum(label)) // count(*))::BIGINT AS pos_rate_x10k,
+       sum(CASE WHEN pred = 1 AND label = 1 THEN 1 ELSE 0 END)
+         ::BIGINT AS n_tp
+FROM ({scored_sql})
+GROUP BY 1
+"""

@@ -2155,3 +2155,137 @@ SELECT b.component, count(*)::BIGINT AS n_nodes,
 FROM blab b JOIN odd o ON o.node = b.node
 GROUP BY b.component
 """
+
+
+def _boruvka_key(a, b) -> F.Column:
+    """Total edge order for the spanning forest: md5-derived 32-bit
+    weight, zero-padded decimal, then the edge endpoints — a single
+    STRING both engines compare identically."""
+    ca, cb = F.col(a), F.col(b)
+    w = F.conv(F.substring(
+        F.md5(F.concat(ca, F.lit("#"), cb)), 1, 8), 16, 10)
+    return F.concat(F.lpad(w, 10, "0"), F.lit("#"), ca,
+                    F.lit("#"), cb)
+
+
+def _sql_boruvka_key(a: str, b: str) -> str:
+    return (f"lpad(('0x' || substr(md5({a} || '#' || {b}), 1, 8))"
+            f"::BIGINT::VARCHAR, 10, '0') || '#' || {a} || '#' || {b}")
+
+
+def boruvka_forest(edges: DataFrame, rounds: int = 8) -> DataFrame:
+    """Borůvka minimum spanning forest → (a, b, key): the MSF of the
+    undirected simple graph under the deterministic total edge order
+    ``(hex32(md5(a#b)), a, b)`` — with an injective order Borůvka
+    yields THE unique minimum forest, so the result is a pure
+    function of the edge set.
+
+    The classic O(log n)-round distributed MST: per round every
+    component claims its minimum outgoing edge, claimed edges merge
+    components, repeat.  KG/web use: a spanning forest is the
+    cheapest connectivity certificate (audit why two entities
+    merged: the forest path between them IS the merge evidence
+    chain), and Borůvka is the textbook "per-group argmin + contract"
+    pattern the engine should own.
+
+    Scale shape per round: one edge⋈labels join pair (node-keyed),
+    one (component)-keyed map-side-combined min over the doubled
+    candidate stream, a forest-sized distinct, and a CC relabel over
+    the FOREST edges only (pointer doubling — O(log d) inner
+    rounds).  Components at least halve per round, so ``rounds`` = 8
+    covers components to 256 nodes and the kernel RAISES rather than
+    returning a partial forest (the CC/kcore/MIS policy).
+    """
+    und = _undirected(edges).localCheckpoint()
+    e = und.select("a", "b", _boruvka_key("a", "b").alias("key")) \
+           .localCheckpoint()
+    nodes = (e.select(F.col("a").alias("node"))
+             .unionByName(e.select(F.col("b").alias("node")))
+             .distinct().localCheckpoint())
+    labels = nodes.select("node", F.col("node").alias("comp"))
+    forest: DataFrame | None = None
+    for i in range(rounds + 1):
+        la = labels.select(F.col("node").alias("a"),
+                           F.col("comp").alias("ca"))
+        lb = labels.select(F.col("node").alias("b"),
+                           F.col("comp").alias("cb"))
+        cross = (e.join(la, "a").join(lb, "b")
+                 .filter(F.col("ca") != F.col("cb"))
+                 .localCheckpoint())
+        if cross.isEmpty():
+            break
+        if i == rounds:
+            raise RuntimeError(
+                f"boruvka_forest: cross-component edges remain after "
+                f"{rounds} rounds; raise `rounds` (a partial forest "
+                "understates connectivity)")
+        cand = (cross.select(F.col("ca").alias("comp"), "key")
+                .unionByName(
+                    cross.select(F.col("cb").alias("comp"), "key")))
+        picked_keys = (cand.groupBy("comp")
+                       .agg(F.min("key").alias("key"))
+                       .select("key").distinct())
+        picked = e.join(picked_keys, "key", "left_semi")
+        forest = (picked if forest is None
+                  else forest.unionByName(picked).distinct())
+        forest = forest.localCheckpoint()
+        cc = connected_components(
+            forest.select(F.col("a").alias("src"),
+                          F.col("b").alias("dst")))
+        labels = (nodes.join(cc, "node", "left")
+                  .select("node",
+                          F.coalesce("component", F.col("node"))
+                          .alias("comp"))
+                  .localCheckpoint())
+    if forest is None:
+        return e.filter(F.lit(False)).select("a", "b", "key")
+    return forest.select("a", "b", "key")
+
+
+def sql_boruvka_forest(edges_sql: str, rounds: int = 8) -> str:
+    """DuckDB twin: the same claim-and-contract schedule unrolled,
+    with a recursive min-label CC over the accumulated forest per
+    round."""
+    key = _sql_boruvka_key("a", "b")
+    ctes = [
+        f"""e AS MATERIALIZED (
+  SELECT a, b, {key} AS key FROM (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM ({edges_sql}) WHERE src <> dst)
+)""",
+        "nodes AS MATERIALIZED "
+        "(SELECT a AS node FROM e UNION SELECT b FROM e)",
+        "l0 AS MATERIALIZED (SELECT node, node AS comp FROM nodes)",
+        "f0 AS MATERIALIZED (SELECT a, b, key FROM e WHERE 1 = 0)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(f"""x{i} AS MATERIALIZED (
+  SELECT e.a, e.b, e.key, la.comp AS ca, lb.comp AS cb
+  FROM e JOIN l{p} la ON la.node = e.a
+         JOIN l{p} lb ON lb.node = e.b
+  WHERE la.comp <> lb.comp)""")
+        ctes.append(f"""p{i} AS MATERIALIZED (
+  SELECT DISTINCT e.a, e.b, e.key
+  FROM e JOIN (
+    SELECT min(key) AS key FROM (
+      SELECT ca AS comp, key FROM x{i}
+      UNION ALL SELECT cb, key FROM x{i}
+    ) GROUP BY comp
+  ) mk ON mk.key = e.key)""")
+        ctes.append(f"""f{i} AS MATERIALIZED (
+  SELECT a, b, key FROM f{p}
+  UNION SELECT a, b, key FROM p{i})""")
+        ctes.append(f"""sym{i} AS MATERIALIZED (
+  SELECT a AS s, b AS d FROM f{i} UNION SELECT b, a FROM f{i})""")
+        ctes.append(f"""reach{i}(node, comp) AS (
+  SELECT s, s FROM sym{i}
+  UNION
+  SELECT e.s, r.comp FROM sym{i} e JOIN reach{i} r ON e.d = r.node)""")
+        ctes.append(f"""l{i} AS MATERIALIZED (
+  SELECT n.node, coalesce(c.component, n.node) AS comp
+  FROM nodes n LEFT JOIN (
+    SELECT node, min(comp) AS component FROM reach{i} GROUP BY node
+  ) c USING (node))""")
+    return ("WITH RECURSIVE " + ",\n".join(ctes)
+            + f"\nSELECT a, b, key FROM f{rounds}")
