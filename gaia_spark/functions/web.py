@@ -1051,3 +1051,77 @@ SELECT p.anchor, p.dst_host, p.cnt, m.n_total,
          AS rank
 FROM per_pair p JOIN marginal m USING (anchor)
 """
+
+
+def resolve_redirects(redirects: DataFrame,
+                      max_doublings: int = 6) -> DataFrame:
+    """Redirect-chain resolution → (src_url, final_url, hops,
+    is_loop): follow every chain to its terminal target by POINTER
+    DOUBLING (m ← m∘m), so a length-d chain resolves in ⌈log2 d⌉
+    rounds, not d.
+
+    The crawl-canonicalization step between fetch and dedup: a
+    Common-Crawl-scale frontier carries millions of 301/302 chains,
+    and the content key is the TERMINAL url.  ``is_loop`` marks
+    sources whose chain never terminates (redirect cycles — real
+    crawls have them; they are data, not an error, so the kernel
+    marks rather than raises).  After ``max_doublings`` rounds
+    chains up to 2^max_doublings hops are fully resolved;
+    longer-but-acyclic chains would also surface as is_loop, so the
+    default covers 64 hops — far past any crawler's follow limit
+    (curl defaults to 50).
+
+    Scale shape per round: ONE self-equi-join of the (src, cur)
+    map on cur = src (both sides skinny url pairs) + a coalesce —
+    lineage truncated per round; hop counts ADD under composition so
+    the final count is exact.
+    """
+    m = (redirects.select(F.col("src_url").alias("src"),
+                          F.col("dst_url").alias("cur"))
+         .withColumn("hops", F.lit(1).cast("bigint"))
+         .localCheckpoint())
+    for _ in range(max_doublings):
+        nxt = m.select(F.col("src").alias("cur"),
+                       F.col("cur").alias("nxt"),
+                       F.col("hops").alias("h2"))
+        m = (m.join(nxt, "cur", "left")
+             .select("src",
+                     F.coalesce("nxt", F.col("cur")).alias("cur"),
+                     (F.col("hops") + F.coalesce("h2", F.lit(0)))
+                     .alias("hops"))
+             .localCheckpoint())
+    srcs = m.select(F.col("src").alias("cur")).distinct()
+    return (m.join(srcs.withColumn("_is_src", F.lit(1)), "cur", "left")
+            .select(F.col("src").alias("src_url"),
+                    F.col("cur").alias("final_url"),
+                    "hops",
+                    F.col("_is_src").isNotNull().alias("is_loop")))
+
+
+def sql_resolve_redirects(redirects_sql: str,
+                          max_doublings: int = 6) -> str:
+    """DuckDB twin: bounded recursive follow (hops < 2^max_doublings)
+    + terminal/loop classification.  A cycle's walk stops at the hop
+    bound; the Spark side's doubled map composes to exactly the same
+    hop count because both walk the same bounded number of steps.
+    """
+    limit = 2 ** max_doublings
+    return f"""
+WITH RECURSIVE r AS (
+  SELECT src_url AS src, dst_url AS dst FROM ({redirects_sql})
+), walk(src, cur, hops) AS (
+  SELECT src, dst, 1::BIGINT FROM r
+  UNION ALL
+  SELECT w.src, r.dst, w.hops + 1
+  FROM walk w JOIN r ON r.src = w.cur
+  WHERE w.hops < {limit}
+), final AS (
+  SELECT src, cur, hops,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY hops DESC) AS rn
+  FROM walk
+)
+SELECT f.src AS src_url, f.cur AS final_url, f.hops,
+       EXISTS (SELECT 1 FROM r WHERE r.src = f.cur) AS is_loop
+FROM final f WHERE f.rn = 1
+"""

@@ -284,3 +284,105 @@ SELECT coalesce(s.entity, o.entity) AS entity,
          AS degree
 FROM s FULL OUTER JOIN o ON s.entity = o.entity
 """
+
+
+#: literal shape classifiers shared verbatim with the DuckDB twin
+#: (Java-regex / RE2 common syntax)
+INT_RE = r"^-?[0-9]+$"
+DEC_RE = r"^-?[0-9]+\.[0-9]{1,2}$"
+DATE_RE = r"^[0-9]{4}-[0-9]{2}-[0-9]{2}$"
+
+
+def parse_literals(triples: DataFrame) -> DataFrame:
+    """Typed-literal parsing over (subj, pred, obj) → input columns
+    + (lit_type ∈ int|decimal|date|string, num_x100, date_val).
+
+    The datatype-canonicalization step of KG construction: extracted
+    object strings carry numbers, dates, and free text mixed in one
+    column; downstream range queries / conflict checks need TYPED
+    values plus an explicit "didn't parse" signal (lit_type =
+    'string'), never a silent cast-to-NULL.  Numerics land in exact
+    x100 BIGINTs — the decimal is parsed by REGEX GROUPS (integer
+    part × 100 + zero-padded fraction), not a float cast, so both
+    engines produce identical bits; up-to-2-digit fractions cover
+    the money/quantity literals a commerce KG carries (wider
+    fractions classify as 'string' rather than rounding silently).
+
+    Scale shape: pure in-row regexp + arithmetic (whole-stage
+    codegen) — no shuffle, no UDF; composes under any downstream
+    aggregate.
+    """
+    obj = F.col("obj")
+    is_int = obj.rlike(INT_RE)
+    is_dec = obj.rlike(DEC_RE)
+    is_date = obj.rlike(DATE_RE)
+    sign = F.when(obj.startswith("-"), F.lit(-1)).otherwise(F.lit(1))
+    dec_int = F.regexp_extract(obj, r"^-?([0-9]+)\.", 1)
+    dec_frac = F.rpad(
+        F.regexp_extract(obj, r"\.([0-9]{1,2})$", 1), 2, "0")
+    num = (
+        F.when(is_int, obj.cast("bigint") * 100)
+        .when(is_dec,
+              sign * (dec_int.cast("bigint") * 100
+                      + dec_frac.cast("bigint")))
+        .cast("bigint")
+    )
+    return triples.select(
+        "subj", "pred", "obj",
+        F.when(is_int, F.lit("int"))
+        .when(is_dec, F.lit("decimal"))
+        .when(is_date, F.lit("date"))
+        .otherwise(F.lit("string")).alias("lit_type"),
+        num.alias("num_x100"),
+        F.when(is_date, obj.cast("date")).alias("date_val"),
+    )
+
+
+def sql_parse_literals(triples_sql: str) -> str:
+    """DuckDB twin: same regex classes, same group-based decimal
+    integerization."""
+    return f"""
+SELECT subj, pred, obj,
+       CASE WHEN regexp_full_match(obj, '-?[0-9]+') THEN 'int'
+            WHEN regexp_full_match(obj, '-?[0-9]+\\.[0-9]{{1,2}}')
+              THEN 'decimal'
+            WHEN regexp_full_match(obj,
+                   '[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}}') THEN 'date'
+            ELSE 'string' END AS lit_type,
+       CASE WHEN regexp_full_match(obj, '-?[0-9]+')
+              THEN obj::BIGINT * 100
+            WHEN regexp_full_match(obj, '-?[0-9]+\\.[0-9]{{1,2}}')
+              THEN (CASE WHEN obj LIKE '-%' THEN -1 ELSE 1 END)
+                   * (regexp_extract(obj, '^-?([0-9]+)\\.', 1)::BIGINT
+                      * 100
+                      + rpad(regexp_extract(obj,
+                             '\\.([0-9]{{1,2}})$', 1), 2, '0')::BIGINT)
+            END::BIGINT AS num_x100,
+       CASE WHEN regexp_full_match(obj,
+              '[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}}')
+            THEN obj::DATE END AS date_val
+FROM ({triples_sql})
+"""
+
+
+def literal_profile(parsed: DataFrame) -> DataFrame:
+    """Compact pin of a parsed-literal table: per (pred, lit_type),
+    counts + exact numeric sum + date range.  One map-side-combined
+    aggregate over the (pred, type) vocabulary."""
+    return (parsed.groupBy("pred", "lit_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("num_x100").alias("sum_num_x100"),
+                 F.min("date_val").cast("string").alias("min_date"),
+                 F.max("date_val").cast("string").alias("max_date")))
+
+
+def sql_literal_profile(parsed_sql: str) -> str:
+    """DuckDB twin of :func:`literal_profile`."""
+    return f"""
+SELECT pred, lit_type, count(*)::BIGINT AS n,
+       sum(num_x100)::BIGINT AS sum_num_x100,
+       min(date_val)::VARCHAR AS min_date,
+       max(date_val)::VARCHAR AS max_date
+FROM ({parsed_sql})
+GROUP BY pred, lit_type
+"""
