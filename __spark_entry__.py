@@ -2646,11 +2646,16 @@ def graph_bipartite(spark, sf_dir):
     for role-merge linker errors in should-be-bipartite relation
     subgraphs; inherits pointer-doubling O(log d) + raise-on-partial
     from the CC kernel — see operators/graph.py:bipartite_check.
-    Sparser co-purchase slice (%16) keeps the recursive-CTE twin's
-    reach table small; the Spark kernel itself is scale-generic."""
+    Sparser co-purchase slice (%16, orderkey < 30000 — an
+    SF-independent cap, the _SUBCLASS_MAX_NODE pattern) keeps the
+    recursive-CTE twin's reach table bounded at any SF (the
+    min-label reach is quadratic per component and co-purchase
+    components percolate); the Spark kernel itself is
+    scale-generic."""
     from gaia_spark.operators.graph import bipartite_check
     li = (_t(spark, sf_dir, "lineitem")
-          .filter(F.col("l_orderkey") % 16 == 0)
+          .filter((F.col("l_orderkey") % 16 == 0)
+                  & (F.col("l_orderkey") < 30000))
           .select("l_orderkey", "l_partkey"))
     b = li.select("l_orderkey", F.col("l_partkey").alias("r_partkey"))
     edges = (li.join(b, "l_orderkey")
@@ -2783,12 +2788,14 @@ def graph_boruvka(spark, sf_dir):
     order: per round one per-component argmin + CC contraction,
     components at least halve, raise-on-partial — see
     operators/graph.py:boruvka_forest.  Sparse co-purchase slice
-    (%64) keeps the twin's per-round recursive relabel small; the
-    Spark kernel is scale-generic (forest-only CC, pointer
-    doubling)."""
+    (%64, orderkey < 30000 — SF-independent cap, same reasoning as
+    graph_bipartite) keeps the twin's per-round recursive relabel
+    bounded at any SF; the Spark kernel is scale-generic
+    (forest-only CC, pointer doubling)."""
     from gaia_spark.operators.graph import boruvka_forest
     li = (_t(spark, sf_dir, "lineitem")
-          .filter(F.col("l_orderkey") % 64 == 0)
+          .filter((F.col("l_orderkey") % 64 == 0)
+                  & (F.col("l_orderkey") < 30000))
           .select("l_orderkey", "l_partkey"))
     b = li.select("l_orderkey", F.col("l_partkey").alias("r_partkey"))
     edges = (li.join(b, "l_orderkey")
@@ -4204,7 +4211,9 @@ GROUP BY 1, 2, 3
         sql_bipartite_check as _sql_bip,
     )
     sql["graph_bipartite"] = _sql_bip(
-        _SQL_COPURCHASE.replace("% 4", "% 16"))
+        _SQL_COPURCHASE.replace("% 4", "% 16").replace(
+            "WHERE a.l_orderkey",
+            "WHERE a.l_orderkey < 30000 AND a.l_orderkey"))
     sql["events_burst"] = """
         WITH hourly AS (
           SELECT event_type, date_trunc('hour', ts) AS hour,
@@ -4244,7 +4253,9 @@ GROUP BY 1, 2, 3
         sql_boruvka_forest as _sql_bor,
     )
     sql["graph_boruvka"] = _sql_bor(
-        _SQL_COPURCHASE.replace("% 4", "% 64"), rounds=8)
+        _SQL_COPURCHASE.replace("% 4", "% 64").replace(
+            "WHERE a.l_orderkey",
+            "WHERE a.l_orderkey < 30000 AND a.l_orderkey"), rounds=8)
     sql["web_redirects"] = _web.sql_resolve_redirects(
         _sql_redirect_pairs())
     from gaia_spark.operators.cleankb import (
