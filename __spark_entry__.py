@@ -2916,11 +2916,55 @@ def kg_literals(spark, sf_dir):
         _literal_triples(spark, sf_dir)))
 
 
+def dedup_cdc(spark, sf_dir):
+    """Content-defined chunking shift-resistance profile: docs and
+    their 1-char-prefix mutants chunk in-row (rolling-hash
+    boundaries, O(n·w) codegen, no Python); per doc the distinct-
+    fingerprint overlap with its mutant — high overlap IS the CDC
+    property fixed-size chunking lacks — see
+    functions/dedup.py:cdc_chunks."""
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") < 300).select("doc_id", "text"))
+    mut = d.select((F.col("doc_id") + 10_000_000).alias("doc_id"),
+                   F.concat(F.lit("X"), F.col("text")).alias("text"))
+    ch = dd.cdc_chunks(d.unionByName(mut))
+    orig = (ch.filter(F.col("doc_id") < 10_000_000)
+            .select("doc_id", "chunk_md5"))
+    mchunks = (ch.filter(F.col("doc_id") >= 10_000_000)
+               .select((F.col("doc_id") - 10_000_000).alias("doc_id"),
+                       F.col("chunk_md5").alias("m_md5")))
+    n_o = orig.groupBy("doc_id").agg(
+        F.countDistinct("chunk_md5").alias("n_orig_fps"))
+    n_m = mchunks.groupBy("doc_id").agg(
+        F.countDistinct("m_md5").alias("n_mut_fps"))
+    shared = (orig.distinct()
+              .join(mchunks.distinct(),
+                    (orig.doc_id == mchunks.doc_id)
+                    & (F.col("chunk_md5") == F.col("m_md5")))
+              .groupBy(orig.doc_id)
+              .agg(F.count(F.lit(1)).alias("n_shared_fps")))
+    return (n_o.join(n_m, "doc_id")
+            .join(shared, "doc_id", "left")
+            .select("doc_id", "n_orig_fps", "n_mut_fps",
+                    F.coalesce("n_shared_fps", F.lit(0))
+                    .cast("bigint").alias("n_shared_fps")))
+
+
+def graph_coreness(spark, sf_dir):
+    """Full core decomposition (coreness ladder, capped at k=4 —
+    the density stratification over the single-k kcore diagnostic):
+    successive parallel peels, each level a subgraph of the last,
+    raise-on-non-convergence per level — see
+    operators/graph.py:core_decompose."""
+    from gaia_spark.operators.graph import core_decompose
+    return core_decompose(_copurchase_edges(spark, sf_dir), k_max=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry, ORDER MATTERS: the driver's correctness artifact
     records only the FIRST 50 entries in dict order (observed
     empirically: CORRECTNESS_r01/r02/r03 each captured exactly
-    registry positions 1-50).  The registry has 151 entries (143 with
+    registry positions 1-50).  The registry has 153 entries (145 with
     exact DuckDB twins in oracle_sql()), so the prefix is ROTATED per
     round to maximize cumulative driver evidence:
 
@@ -3133,6 +3177,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_boruvka": graph_boruvka,
         "web_redirects": web_redirects,
         "kg_literals": kg_literals,
+        "dedup_cdc": dedup_cdc,
+        "graph_coreness": graph_coreness,
         # non-SQL-expressible (strongest oracles in pytest: numpy
         # cross-impl / recall bounds / gaia_ref exact-set; kg_* rows
         # were driver-recorded as rows-only in r1)
@@ -4264,6 +4310,34 @@ GROUP BY 1, 2, 3
     )
     sql["kg_literals"] = sql_literal_profile(
         sql_parse_literals(_SQL_LITERAL_TRIPLES))
+    _cdc_all = dd.sql_cdc_chunks(
+        "(SELECT doc_id, text FROM documents WHERE doc_id < 300 "
+        "UNION ALL SELECT doc_id + 10000000, 'X' || text "
+        "FROM documents WHERE doc_id < 300)")
+    sql["dedup_cdc"] = f"""
+        WITH ch AS ({_cdc_all}),
+        orig AS (SELECT DISTINCT doc_id, chunk_md5 FROM ch
+                 WHERE doc_id < 10000000),
+        mut AS (SELECT DISTINCT doc_id - 10000000 AS doc_id,
+                       chunk_md5 FROM ch WHERE doc_id >= 10000000),
+        n_o AS (SELECT doc_id, count(*)::BIGINT AS n_orig_fps
+                FROM orig GROUP BY doc_id),
+        n_m AS (SELECT doc_id, count(*)::BIGINT AS n_mut_fps
+                FROM mut GROUP BY doc_id),
+        sh AS (SELECT o.doc_id, count(*)::BIGINT AS n_shared_fps
+               FROM orig o JOIN mut m
+                 ON o.doc_id = m.doc_id
+                AND o.chunk_md5 = m.chunk_md5
+               GROUP BY o.doc_id)
+        SELECT n_o.doc_id, n_orig_fps, n_mut_fps,
+               coalesce(sh.n_shared_fps, 0)::BIGINT AS n_shared_fps
+        FROM n_o JOIN n_m USING (doc_id)
+        LEFT JOIN sh USING (doc_id)
+    """
+    from gaia_spark.operators.graph import (
+        sql_core_decompose as _sql_coredec,
+    )
+    sql["graph_coreness"] = _sql_coredec(_SQL_COPURCHASE, k_max=4)
     sql["streaming_enrich"] = """
         SELECT coalesce(c.c_mktsegment, 'UNMATCHED') AS segment,
                count(*)::BIGINT AS n_events,

@@ -1049,3 +1049,107 @@ FROM (
   FROM ({pairs_sql}) p
 )
 """
+
+
+#: CDC rolling-hash parameters, shared verbatim with the SQL twin:
+#: window w, base B, modulus M (prime), boundary divisor D → expected
+#: chunk length ≈ D characters past the window.
+CDC_W = 8
+CDC_B = 31
+CDC_M = 1000003
+CDC_D = 16
+
+
+def cdc_chunks(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Content-defined chunking (LBFS/rsync family) → (doc_id,
+    chunk_idx, start, chunk_len, chunk_md5): split each document at
+    positions where the w-char rolling hash ≡ 0 (mod D).
+
+    The SHIFT-RESISTANT chunker fixed-size chunking cannot be: an
+    insertion near the head re-aligns every fixed-size block but
+    only perturbs CDC chunks up to the next content-defined
+    boundary — the property that makes chunk-level dedup work on
+    near-identical pages (and binary/media payloads) across crawls.
+    Boundaries are a pure function of the local window
+    (``h_i = Σ_k ascii(s[i−k])·B^k mod M``, k < w), so both engines
+    cut identically.
+
+    Scale shape: the whole chunker is IN-ROW whole-stage codegen —
+    per position an unrolled w-term polynomial (O(n·w) character
+    reads per doc, no Python, no shuffle); only (doc_id, idx,
+    offsets, 32-byte fingerprints) leave the row.  Downstream
+    chunk-level dedup is the standard fingerprint groupBy.
+    """
+    n = F.length(F.col(text_col))
+    # BIGINT(ascii): B^7 = 31^7 ≈ 2.75e10 overflows INT under ANSI
+    h_terms = " + ".join(
+        f"BIGINT(ascii(substring({text_col}, i - {k}, 1)))"
+        f" * CAST({CDC_B ** k} AS BIGINT)"
+        for k in range(CDC_W))
+    bounds = F.expr(
+        f"filter(sequence({CDC_W}, length({text_col})), "
+        f"i -> i < length({text_col}) "
+        f"AND (({h_terms}) % {CDC_M}) % {CDC_D} = 0)")
+    ends = F.concat(bounds, F.array(n))
+    chunks = F.expr(
+        "transform(ends, (e, j) -> struct("
+        "j + 1 AS chunk_idx, "
+        "CASE WHEN j = 0 THEN 1 ELSE ends[j - 1] + 1 END AS start, "
+        "e AS fin))")
+    return (
+        df.filter(n >= 1)
+        .select(F.col(id_col).alias("doc_id"),
+                F.col(text_col).alias("_t"),
+                ends.alias("ends"))
+        .select("doc_id", "_t", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").cast("int").alias("chunk_idx"),
+            F.col("c.start").cast("bigint").alias("start"),
+            (F.col("c.fin") - F.col("c.start") + 1).cast("bigint")
+            .alias("chunk_len"),
+            F.md5(F.expr("substring(_t, c.start, "
+                         "c.fin - c.start + 1)").cast("binary"))
+            .alias("chunk_md5"))
+    )
+
+
+def sql_cdc_chunks(rel: str, text_col: str = "text",
+                   id_col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`cdc_chunks` (same window polynomial,
+    same boundary rule, same md5 fingerprints)."""
+    h_terms = " + ".join(
+        f"ascii(substring(t, i - {k}, 1))::BIGINT"
+        f" * {CDC_B ** k}::BIGINT"
+        for k in range(CDC_W))
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_id, {text_col} AS t
+  FROM {rel} WHERE length({text_col}) >= 1
+), be AS (
+  SELECT doc_id, t,
+         list_concat(
+           list_filter(range({CDC_W}, length(t) + 1),
+                       i -> i < length(t)
+                            AND (({h_terms}) % {CDC_M}) % {CDC_D} = 0),
+           [length(t)]) AS ends
+  FROM base
+), ex AS (
+  SELECT doc_id, t, ends,
+         unnest(range(1, len(ends) + 1)) AS j
+  FROM be
+)
+SELECT doc_id,
+       j::INT AS chunk_idx,
+       (CASE WHEN j = 1 THEN 1 ELSE ends[j - 1] + 1 END)::BIGINT
+         AS start,
+       (ends[j] - (CASE WHEN j = 1 THEN 1 ELSE ends[j - 1] + 1 END)
+        + 1)::BIGINT AS chunk_len,
+       md5(substring(t, (CASE WHEN j = 1 THEN 1
+                         ELSE ends[j - 1] + 1 END)::INT,
+                     (ends[j] - (CASE WHEN j = 1 THEN 1
+                                 ELSE ends[j - 1] + 1 END) + 1)::INT))
+         AS chunk_md5
+FROM ex
+"""

@@ -2289,3 +2289,95 @@ def sql_boruvka_forest(edges_sql: str, rounds: int = 8) -> str:
   ) c USING (node))""")
     return ("WITH RECURSIVE " + ",\n".join(ctes)
             + f"\nSELECT a, b, key FROM f{rounds}")
+
+
+def core_decompose(edges: DataFrame, k_max: int = 4,
+                   rounds: int = 12) -> DataFrame:
+    """Core decomposition → (node, coreness) for every node of the
+    undirected simple graph, capped at ``k_max`` (a node in the
+    (k_max+1)-core reports k_max — the cap is part of the contract,
+    like the subclass-ontology size cap).
+
+    The full version of the single-k ``kcore`` diagnostic: coreness
+    strata are the standard corpus-graph density ladder (periphery =
+    1, well-corroborated nucleus = high k), and the decomposition is
+    just successive peels — the k-core of the (k−1)-core.  Each peel
+    runs EXACTLY like ``kcore`` (batch parallel peel, raise on
+    non-convergence at ``rounds``), so the result is the same
+    fixpoint any engine computes.
+
+    Scale shape: k_max × the kcore cost, each level on a shrinking
+    edge set (the k-core is a subgraph of the (k−1)-core); per round
+    one node-keyed count + two anti-joins, lineage truncated.
+    """
+    cur = _undirected(edges).localCheckpoint()
+    levels = (
+        cur.select(F.col("a").alias("node"))
+        .unionByName(cur.select(F.col("b").alias("node")))
+        .distinct()
+        .select("node", F.lit(1).cast("int").alias("k"))
+    )
+    for k in range(2, k_max + 1):
+        for i in range(rounds):
+            deg = (
+                cur.select(F.col("a").alias("node"))
+                .unionByName(cur.select(F.col("b").alias("node")))
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).alias("deg"))
+            )
+            low = deg.filter(F.col("deg") < k).select("node")
+            if low.isEmpty():
+                break
+            if i == rounds - 1:
+                raise RuntimeError(
+                    f"core_decompose: {k}-core peel still changing "
+                    f"after {rounds} rounds; raise `rounds`")
+            cur = (
+                cur.join(low.withColumnRenamed("node", "a"), "a",
+                         "left_anti")
+                .join(low.withColumnRenamed("node", "b"), "b",
+                      "left_anti")
+                .localCheckpoint()
+            )
+        survivors = (
+            cur.select(F.col("a").alias("node"))
+            .unionByName(cur.select(F.col("b").alias("node")))
+            .distinct()
+            .select("node", F.lit(k).cast("int").alias("k"))
+        )
+        levels = levels.unionByName(survivors)
+    return levels.groupBy("node").agg(F.max("k").alias("coreness"))
+
+
+def sql_core_decompose(edges_sql: str, k_max: int = 4,
+                       rounds: int = 12) -> str:
+    """DuckDB twin: successive unrolled peels, each level starting
+    from the previous level's surviving edge set."""
+    ctes = [
+        f"""e1_{rounds} AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM ({edges_sql}) WHERE src <> dst
+)"""
+    ]
+    lvl_sel = [f"SELECT a AS node, 1 AS k FROM e1_{rounds} "
+               f"UNION SELECT b, 1 FROM e1_{rounds}"]
+    for k in range(2, k_max + 1):
+        ctes.append(f"e{k}_0 AS MATERIALIZED "
+                    f"(SELECT a, b FROM e{k - 1}_{rounds})")
+        for i in range(1, rounds + 1):
+            ctes.append(
+                f"d{k}_{i} AS MATERIALIZED (SELECT node, "
+                f"count(*)::BIGINT AS deg FROM ("
+                f"SELECT a AS node FROM e{k}_{i-1} "
+                f"UNION ALL SELECT b FROM e{k}_{i-1}) GROUP BY node)")
+            ctes.append(
+                f"e{k}_{i} AS MATERIALIZED (SELECT e.a, e.b "
+                f"FROM e{k}_{i-1} e "
+                f"JOIN d{k}_{i} da ON da.node = e.a AND da.deg >= {k} "
+                f"JOIN d{k}_{i} db ON db.node = e.b AND db.deg >= {k})")
+        lvl_sel.append(
+            f"SELECT a AS node, {k} AS k FROM e{k}_{rounds} "
+            f"UNION SELECT b, {k} FROM e{k}_{rounds}")
+    levels = " UNION ALL ".join(f"({q})" for q in lvl_sel)
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT node, max(k)::INT AS coreness FROM ({levels}) GROUP BY node""")
