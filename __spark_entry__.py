@@ -2960,11 +2960,21 @@ def graph_coreness(spark, sf_dir):
     return core_decompose(_copurchase_edges(spark, sf_dir), k_max=4)
 
 
+def text_collocations(spark, sf_dir):
+    """Adjacent-bigram collocation mining (phrase candidates by
+    exact integer lift — the adjacency-bound statistic doc-level
+    cooccurrence can't see): bigrams in-row → ONE pair-keyed count,
+    vocabulary-scale marginals, double-floor x100 lift — see
+    functions/text_analysis.py:collocations."""
+    return ta.collocations(_t(spark, sf_dir, "documents"),
+                           min_count=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry, ORDER MATTERS: the driver's correctness artifact
     records only the FIRST 50 entries in dict order (observed
     empirically: CORRECTNESS_r01/r02/r03 each captured exactly
-    registry positions 1-50).  The registry has 153 entries (145 with
+    registry positions 1-50).  The registry has 154 entries (146 with
     exact DuckDB twins in oracle_sql()), so the prefix is ROTATED per
     round to maximize cumulative driver evidence:
 
@@ -3179,6 +3189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_literals": kg_literals,
         "dedup_cdc": dedup_cdc,
         "graph_coreness": graph_coreness,
+        "text_collocations": text_collocations,
         # non-SQL-expressible (strongest oracles in pytest: numpy
         # cross-impl / recall bounds / gaia_ref exact-set; kg_* rows
         # were driver-recorded as rows-only in r1)
@@ -4338,6 +4349,8 @@ GROUP BY 1, 2, 3
         sql_core_decompose as _sql_coredec,
     )
     sql["graph_coreness"] = _sql_coredec(_SQL_COPURCHASE, k_max=4)
+    sql["text_collocations"] = ta.sql_collocations("documents",
+                                                   min_count=5)
     sql["streaming_enrich"] = """
         SELECT coalesce(c.c_mktsegment, 'UNMATCHED') AS segment,
                count(*)::BIGINT AS n_events,

@@ -661,3 +661,90 @@ SELECT doc_id, n_words, n_sents, n_syll,
                - (84600 * n_syll) // n_words)::BIGINT AS flesch_x1000
 FROM counted
 """
+
+
+def collocations(df: DataFrame, min_count: int = 5,
+                 text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """ADJACENT-bigram collocation mining → (w1, w2, c12, c1, c2,
+    lift_x100): phrase candidates by pointwise lift over consecutive
+    token pairs — the phrase-mining statistic next to
+    :func:`cooccur_lift`'s DOCUMENT-level association (a collocation
+    like "new york" is adjacency-bound; doc-level co-occurrence
+    can't see it).
+
+    ``lift = P(w1w2) / (P(w1)·P(w2)) = c12·Nu² / (Nb·c1·c2)``
+    computed with the double-floor recipe pinned in the twin:
+    ``t = (c12·Nu) div c1; lift_x100 = (100·t·Nu) div (Nb·c2)`` — no
+    intermediate exceeds ~1e13 at oracle scale (headroom seam: at
+    Nu ≳ 1e9 unigrams switch to per-shard counts + merged marginals,
+    same as the KN trainer).  PMI = log(lift) is monotone, so the
+    log stays out of the integral contract.
+
+    Scale shape: bigrams stay in-row until ONE (w1, w2) map-side-
+    combined count; unigram marginals are a vocabulary-scale
+    aggregate re-attached by broadcastable joins; the two corpus
+    totals ride a 1-row cross join.
+    """
+    from gaia_spark.functions.retrieval import WORD_SPLIT_RE
+
+    toks = F.filter(F.split(F.lower(F.col(text_col)), WORD_SPLIT_RE),
+                    lambda t: t != "")
+    td = df.select(toks.alias("ts")).localCheckpoint()
+    uni = (td.select(F.explode("ts").alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    bi = (td.filter(F.size("ts") >= 2)
+          .select(F.explode(F.expr(
+              "transform(sequence(1, size(ts) - 1), "
+              "i -> struct(ts[i-1] AS w1, ts[i] AS w2))")).alias("p"))
+          .select("p.w1", "p.w2")
+          .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")))
+    nu = uni.agg(F.sum("c").alias("n_uni"))
+    nb = bi.agg(F.sum("c12").alias("n_bi"))
+    return (
+        bi.filter(F.col("c12") >= min_count)
+        .join(uni.select(F.col("w").alias("w1"),
+                         F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"),
+                         F.col("c").alias("c2")), "w2")
+        .crossJoin(nu).crossJoin(nb)
+        .select(
+            "w1", "w2", "c12", "c1", "c2",
+            F.expr("(100 * ((c12 * n_uni) div c1) * n_uni)"
+                   " div (n_bi * c2)").alias("lift_x100"))
+    )
+
+
+def sql_collocations(rel: str, min_count: int = 5,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`collocations` (same tokenizer, same
+    double-floor order)."""
+    from gaia_spark.functions.retrieval import WORD_SPLIT_RE
+
+    return f"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower({text_col}),
+                                        '{WORD_SPLIT_RE}'),
+                     t -> t <> '') AS ts
+  FROM {rel}
+), uni AS (
+  SELECT w, count(*)::BIGINT AS c FROM (
+    SELECT unnest(ts) AS w FROM toks
+  ) GROUP BY w
+), pairs AS (
+  SELECT ts, unnest(range(1, len(ts))) AS i FROM toks
+), bi AS (
+  SELECT ts[i] AS w1, ts[i + 1] AS w2, count(*)::BIGINT AS c12
+  FROM pairs GROUP BY 1, 2
+), nu AS (SELECT sum(c)::BIGINT AS n_uni FROM uni),
+nb AS (SELECT sum(c12)::BIGINT AS n_bi FROM bi)
+SELECT bi.w1, bi.w2, bi.c12, u1.c AS c1, u2.c AS c2,
+       ((100 * ((bi.c12 * n_uni) // u1.c) * n_uni)
+        // (n_bi * u2.c))::BIGINT AS lift_x100
+FROM bi
+JOIN uni u1 ON u1.w = bi.w1
+JOIN uni u2 ON u2.w = bi.w2
+CROSS JOIN nu CROSS JOIN nb
+WHERE bi.c12 >= {min_count}
+"""

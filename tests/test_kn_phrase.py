@@ -91,3 +91,25 @@ def test_phrase_punctuation_and_case_fold(spark):
                _docs(spark, ["Table. Hash!"]),
                ["table", "hash"]).collect()}
     assert got == {0: 1}
+
+
+def test_collocations_hand_computed(spark):
+    """Corpus 'a b a b c': unigrams a:2 b:2 c:1, Nu=5; bigrams
+    ab:2 ba:1 bc:1, Nb=4.  lift(ab) = (100·((2·5)//2)·5)//(4·2)
+    = (100·5·5)//8 = 312."""
+    from gaia_spark.functions.text_analysis import collocations
+
+    got = {(r.w1, r.w2): r for r in collocations(
+        _docs(spark, ["a b a b c"]), min_count=1).collect()}
+    r = got[("a", "b")]
+    assert (r.c12, r.c1, r.c2, r.lift_x100) == (2, 2, 2, 312)
+    assert got[("b", "c")].lift_x100 == (100 * ((1 * 5) // 2) * 5) \
+        // (4 * 1)
+
+
+def test_collocations_min_count_prunes(spark):
+    from gaia_spark.functions.text_analysis import collocations
+
+    out = collocations(_docs(spark, ["x y z", "x y w"]),
+                       min_count=2).collect()
+    assert {(r.w1, r.w2) for r in out} == {("x", "y")}
