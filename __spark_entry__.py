@@ -2144,10 +2144,12 @@ def text_bpe_tokens(spark, sf_dir):
 
 def graph_walks(spark, sf_dir):
     """Deterministic hash random-walks (DeepWalk corpus sampler) over
-    the supplier→part graph — RNG replaced by a per-(walk, step)
-    md5 tournament over out-neighbors, so the walk set is a pure
-    function of the graph (operators/walks.py): bit-identical under
-    any partitioning and hash-matched by the unrolled-CTE twin."""
+    the supplier→part graph — RNG replaced by an in-row md5-index
+    pick into per-node sorted adjacency arrays (O(1) rows and hash
+    work per walk-step; the r5 de-hub rewrite, operators/walks.py),
+    so the walk set is a pure function of the graph: bit-identical
+    under any partitioning and hash-matched by the unrolled-CTE
+    twin."""
     from gaia_spark.operators.walks import hash_walks
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
     edges = li.select(

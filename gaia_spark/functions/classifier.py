@@ -199,8 +199,8 @@ FROM feats f, w_{rounds} w""")
 def calibration_table(scored: DataFrame,
                       bucket: int = 500) -> DataFrame:
     """Score-calibration table over classifier output → per margin
-    bucket (margin div ``bucket``): (bucket, n, n_pos, prec_x10k,
-    pos_rate_x10k).
+    bucket (margin div ``bucket``): (bucket, n, n_pos,
+    pos_rate_x10k, n_tp).
 
     The standard eval artifact for a quality gate: before picking a
     keep threshold over 10^12 documents you read precision per score

@@ -105,8 +105,7 @@ FROM ({triples_sql})
 """
 
 
-def score_profile(scored: DataFrame, bucket: int = 100_000_000
-                  ) -> DataFrame:
+def score_profile(scored: DataFrame) -> DataFrame:
     """Compact pin of a scored triple table: per predicate, the
     count, the exact score sum, and min/max (any one wrong score
     shifts the sum).  One map-side-combined aggregate."""

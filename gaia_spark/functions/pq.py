@@ -348,13 +348,13 @@ qv AS (SELECT {id_col} AS query_id, {vec_col} AS q FROM {rel}
 cv AS (SELECT {id_col} AS neighbor_id, {vec_col} AS c FROM {rel}),
 sims AS (
   SELECT s.query_id, s.neighbor_id,
-         floor(10000 *
+         floor(10000 * (
            list_sum(list_transform(list_zip(q, c),
                     z -> z[1]::DOUBLE * z[2]::DOUBLE))
            / ( sqrt(list_sum(list_transform(q,
                  x -> x::DOUBLE * x::DOUBLE)))
              * sqrt(list_sum(list_transform(c,
-                 x -> x::DOUBLE * x::DOUBLE))) ))::BIGINT AS sim_x10k
+                 x -> x::DOUBLE * x::DOUBLE))) )))::BIGINT AS sim_x10k
   FROM short s JOIN qv USING (query_id) JOIN cv USING (neighbor_id)
 )
 SELECT query_id, neighbor_id,

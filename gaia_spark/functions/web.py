@@ -1075,9 +1075,15 @@ def resolve_redirects(redirects: DataFrame,
     map on cur = src (both sides skinny url pairs) + a coalesce —
     lineage truncated per round; hop counts ADD under composition so
     the final count is exact.
+
+    The input is first collapsed to a FUNCTIONAL map (one dst per
+    src, ties broken by min(dst_url)), so duplicate src_url rows —
+    a crawler re-fetching the same redirect — neither multiply rows
+    through the doubling join nor diverge from the DuckDB twin,
+    which applies the same min-per-src collapse.
     """
-    m = (redirects.select(F.col("src_url").alias("src"),
-                          F.col("dst_url").alias("cur"))
+    m = (redirects.groupBy(F.col("src_url").alias("src"))
+         .agg(F.min("dst_url").alias("cur"))
          .withColumn("hops", F.lit(1).cast("bigint"))
          .localCheckpoint())
     for _ in range(max_doublings):
@@ -1104,11 +1110,14 @@ def sql_resolve_redirects(redirects_sql: str,
     + terminal/loop classification.  A cycle's walk stops at the hop
     bound; the Spark side's doubled map composes to exactly the same
     hop count because both walk the same bounded number of steps.
+    Mirrors the kernel's min-per-src functional collapse so
+    duplicate src_url rows resolve identically in both engines.
     """
     limit = 2 ** max_doublings
     return f"""
 WITH RECURSIVE r AS (
-  SELECT src_url AS src, dst_url AS dst FROM ({redirects_sql})
+  SELECT src_url AS src, min(dst_url) AS dst FROM ({redirects_sql})
+  GROUP BY src_url
 ), walk(src, cur, hops) AS (
   SELECT src, dst, 1::BIGINT FROM r
   UNION ALL

@@ -1992,8 +1992,12 @@ def neighbor_jaccard(edges: DataFrame, max_degree: int = 64,
     Same hub discipline as link_prediction — wedge CENTERS above
     ``max_degree`` contribute no pairs (a mega-hub would mint
     degree² candidates; the LSH hot-bucket lesson applied at design
-    time), while deg_a/deg_b in the Jaccard stay the FULL degrees,
-    so the score is exact for every emitted pair.
+    time), while deg_a/deg_b in the Jaccard stay the FULL degrees.
+    The cap is a documented approximation: ``common`` counts only
+    common neighbors whose own degree is ≤ ``max_degree``, so
+    j_x10k UNDERSTATES true Jaccard for pairs that additionally
+    share a hub neighbor (it never overstates — the DuckDB twin
+    applies the identical cap, keeping the engines bit-equal).
 
     Scale shape: one degree aggregate, one capped wedge self-join
     (per-center fan-out ≤ max_degree²), one (a, b) map-side-combined

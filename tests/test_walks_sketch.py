@@ -30,10 +30,12 @@ EDGES = [
 EDGES = [e for e in EDGES if e[1] is not None]
 
 
-def _py_walks(edges, walk_len, walks_per_node):
+def _py_walks(edges, walk_len, walks_per_node, max_out_degree=8192):
     adj: dict[str, list[str]] = {}
     for s, d in set(edges):
         adj.setdefault(s, []).append(d)
+    # sorted + capped adjacency arrays, exactly as the kernel builds
+    adj = {s: sorted(ds)[:max_out_degree] for s, ds in adj.items()}
     rows = []
     for start in sorted(adj):
         for i in range(walks_per_node):
@@ -43,7 +45,8 @@ def _py_walks(edges, walk_len, walks_per_node):
                 nbrs = adj.get(cur)
                 if not nbrs:
                     break
-                cur = min(nbrs, key=lambda v: (_md5(f"{wid}:{t}:{v}"), v))
+                h = int(_md5(f"{wid}:{t}")[:8], 16)
+                cur = nbrs[h % len(nbrs)]
                 rows.append((wid, t, cur))
     return sorted(rows)
 
@@ -79,6 +82,65 @@ def test_walks_partitioning_invariance(spark, edges_df):
     b = sorted(tuple(r) for r in
                walks.hash_walks(edges_df.repartition(5), 3, 1).collect())
     assert a == b
+
+
+def test_walks_planted_hub_no_fanout(spark):
+    """r4-verdict scale contract: one node with 10^4 out-edges plus
+    many walks must NOT build O(walks·degree) rows per step.  The
+    element_at rewrite picks in-row, so each step's frontier join
+    emits exactly one row per live walk; assert (a) correctness vs
+    the pure-Python reference on the hub graph, (b) the per-step
+    plan contains the in-row pick and NO aggregate over a
+    walk×neighbor fan-out, (c) the hub's adjacency row is capped at
+    max_out_degree."""
+    hub_deg = 10_000
+    edges = ([("hub", f"n{j:05d}") for j in range(hub_deg)]
+             + [(f"n{j:05d}", "hub") for j in range(200)])
+    df = spark.createDataFrame(edges, "src string, dst string")
+
+    out = walks.hash_walks(df, walk_len=3, walks_per_node=1)
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == _py_walks(edges, 3, 1)
+    # per-step row count is bounded by the number of LIVE walks —
+    # O(walks), not O(walks·degree); walks landing on a spoke with
+    # no out-edges (n00200+) end there, so counts only shrink
+    n_walks = len({w for w, _, _ in got})
+    assert n_walks == 201  # hub + 200 spokes have out-degree > 0
+    from collections import Counter
+    per_step = Counter(s for _, s, _ in got)
+    assert per_step[0] == n_walks
+    assert all(per_step[t] <= per_step[t - 1] for t in range(1, 4))
+    # plan shape (checkpoint=False keeps lineage): the step join's
+    # neighbor pick is an in-row element_at projection — the old
+    # min(struct(md5, dst)) tournament aggregate is gone, so the
+    # only aggregates left are the one-time adjacency collect_list
+    # builds (one per retained lineage)
+    lineage = walks.hash_walks(df, walk_len=2, walks_per_node=1,
+                               checkpoint=False)
+    plan = lineage._jdf.queryExecution().optimizedPlan().toString()
+    assert "element_at" in plan
+    assert "min(" not in plan
+
+    # cap discipline: a hub above max_out_degree carries a capped
+    # sorted prefix, never the full neighbor array
+    capped = walks.hash_walks(df, walk_len=1, walks_per_node=1,
+                              max_out_degree=64)
+    ref = _py_walks(edges, 1, 1, max_out_degree=64)
+    assert sorted(tuple(r) for r in capped.collect()) == ref
+
+
+def test_walks_capped_matches_duckdb_twin(spark):
+    """The cap must be applied identically by the DuckDB twin."""
+    edges = [("h", f"x{j}") for j in range(30)] + [("x1", "h")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    con = duckdb.connect()
+    con.register("edges", df.toPandas())
+    oracle = sorted(con.execute(
+        walks.sql_hash_walks("SELECT src, dst FROM edges", 3, 2,
+                             max_out_degree=7)).fetchall())
+    got = sorted(tuple(r) for r in
+                 walks.hash_walks(df, 3, 2, max_out_degree=7).collect())
+    assert got == [tuple(r) for r in oracle]
 
 
 # ------------------------------------------------------------------
