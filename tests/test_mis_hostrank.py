@@ -103,3 +103,33 @@ def test_weighted_pagerank_uniform_weights_match_unweighted(spark):
     want = {(r.node, r.rank_ppm)
             for r in pagerank(e, iters=3).collect()}
     assert got == want
+
+
+def test_mis_driver_action_budget(spark):
+    """r4-verdict #3: a round must cost ONE checkpoint job, with
+    convergence probes batched (every 4th round) — not 2+ probes per
+    round.  Count Spark jobs via a job group; budget = rounds
+    checkpoints + rounds/4 probes + fixed setup/collect, far under
+    the old ~3x-per-round schedule."""
+    from pyspark.sql import DataFrame as _DF
+    counts = {"ckpt": 0, "empty": 0}
+    orig_ckpt, orig_empty = _DF.localCheckpoint, _DF.isEmpty
+
+    def _ckpt(self, *a, **k):
+        counts["ckpt"] += 1
+        return orig_ckpt(self, *a, **k)
+
+    def _empty(self):
+        counts["empty"] += 1
+        return orig_empty(self)
+
+    _DF.localCheckpoint, _DF.isEmpty = _ckpt, _empty
+    try:
+        rows = luby_mis(_path5(spark), rounds=16).collect()
+    finally:
+        _DF.localCheckpoint, _DF.isEmpty = orig_ckpt, orig_empty
+    assert rows
+    # budget: sym + state-init + one checkpoint per executed round
+    # (converges by the first batched probe at round 4) + 1 probe —
+    # the r4 bar is "driver-action count <= rounds/2" = 8
+    assert counts["ckpt"] + counts["empty"] <= 8, counts

@@ -127,3 +127,78 @@ def test_pq_partitioning_invariance(spark, emb):
 def test_pq_indivisible_dim_raises(spark, emb):
     with pytest.raises(ValueError, match="not divisible"):
         pq.pq_train_encode(emb, n_sub=3, n_codes=N_CODES)
+
+
+# ------------------------------------------------------------------
+# IVF-PQ (r5): cell-routed ADC scan
+# ------------------------------------------------------------------
+
+def test_ivfpq_matches_duckdb_twin(spark, emb):
+    got = pq.ivfpq_topk(emb, emb.filter("vec_id < 3"), k=4,
+                        n_cells=4, n_probe=2,
+                        n_sub=N_SUB, n_codes=N_CODES).toPandas()
+    con = duckdb.connect()
+    con.register("embeddings", emb.toPandas())
+    want = con.execute(pq.sql_ivfpq_topk(
+        "embeddings", k=4, n_cells=4, n_probe=2,
+        n_sub=N_SUB, n_codes=N_CODES, dim=DIM,
+        query_where="vec_id < 3")).df()
+    g, w = _sorted(got), _sorted(want)
+    assert g.equals(w.astype(g.dtypes.to_dict()))
+
+
+def test_ivfpq_scan_restricted_to_probed_cells(spark, emb):
+    """The O(cells) contract: every returned neighbor sits in one of
+    its query's n_probe probed cells, and with n_probe < n_cells the
+    candidate set is a strict subset of the corpus (the flat-PQ scan
+    touches everything; IVF-PQ must not)."""
+    from pyspark.sql import functions as F
+    from gaia_spark.functions.clustering import (kmeans_train,
+                                                 _assign_exact_udf)
+    n_cells, n_probe = 4, 1
+    base = big_local_checkpoint(emb.select(
+        "vec_id", _int_vec(F.col("embedding")).alias("v")))
+    cents = kmeans_train(base, n_cells, 2)
+    assign = _assign_exact_udf(base, cents)
+    cell_of = {r.vec_id: r.cell for r in base.select(
+        "vec_id", assign(F.col("v")).getField("cluster").alias("cell")
+    ).collect()}
+
+    out = pq.ivfpq_topk(emb, emb.filter("vec_id < 3"), k=24,
+                        n_cells=n_cells, n_probe=n_probe,
+                        n_sub=N_SUB, n_codes=N_CODES).collect()
+    # with n_probe=1 every query's neighbors share ONE cell
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, set()).add(cell_of[r.neighbor_id])
+    assert by_q and all(len(cells) == 1 for cells in by_q.values())
+    # and the scan pruned: no query saw the whole corpus even with
+    # k = |corpus|
+    n_corpus = 24
+    from collections import Counter
+    per_q = Counter(r.query_id for r in out)
+    assert all(v < n_corpus - 1 for v in per_q.values())
+
+
+def test_ivfpq_full_probe_equals_flat_pq(spark, emb):
+    """Exactness anchor: probing ALL cells degrades IVF-PQ to the
+    flat scan, so the result must be bit-identical to pq_topk (same
+    codebooks, same ADC distances, same tie-breaks) — the routing
+    only prunes, it never rescores."""
+    q = emb.filter("vec_id < 3")
+    flat = sorted(tuple(r) for r in pq.pq_topk(
+        emb, q, k=4, n_sub=N_SUB, n_codes=N_CODES).collect())
+    full = sorted(tuple(r) for r in pq.ivfpq_topk(
+        emb, q, k=4, n_cells=4, n_probe=4,
+        n_sub=N_SUB, n_codes=N_CODES).collect())
+    assert flat == full
+
+
+def test_pq_topk_partial_prune_plan(spark, emb):
+    """r4-verdict #2a: the flat-PQ top-k must carry a mapInPandas
+    partial top-k between the ADC aggregate and the global window
+    (shuffle bounded at k*partitions rows per query)."""
+    out = pq.pq_topk(emb, emb.filter("vec_id < 3"), k=4,
+                     n_sub=N_SUB, n_codes=N_CODES)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "pythonUDF" in plan or "MapInPandas" in plan
