@@ -1643,33 +1643,61 @@ def text_boilerplate(spark, sf_dir):
 
 
 def streaming_dedup(spark, sf_dir):
-    """Structured-Streaming stateful exact dedup, driver-ORACLED.
+    """Structured-Streaming stateful exact dedup across TWO
+    micro-batches, driver-ORACLED.
 
     Runs the REAL streaming operator (applyInPandasWithState,
     first-seen-wins keyed by the batch-identical content fingerprint —
-    gaia_spark/streaming/__init__.py) over a file-source stream of the
-    documents table with trigger(availableNow=True), drains into a
-    memory sink, and returns the keeper rows.  ORACLED because the
-    batching here is deterministic: one parquet file → one availableNow
-    micro-batch, and within a batch the operator keeps min(doc_id) per
-    fingerprint — so the result is exactly the batch aggregate
-    SELECT fingerprint, min(doc_id) GROUP BY 1 (DuckDB twin).  The
-    cross-micro-batch first-seen semantics and restart behavior — the
-    parts a single-batch drain cannot exercise — are pinned in
-    tests/test_streaming.py.
+    gaia_spark/streaming/__init__.py) over a two-file file-source
+    stream (mtimes 10 s apart + maxFilesPerTrigger=1 pin the batch
+    order) with trigger(availableNow=True), drains into a memory
+    sink, and returns the keeper rows WITH the batch_id that first
+    saw each fingerprint.  The documents table has no exact dups at
+    test SFs, so the fixture plants deterministic CROSS-BATCH ones:
+    batch 0 carries originals with doc_id % 3 != 0 plus a COPY
+    (doc_id + 1_000_000, same text) of every doc_id % 6 == 0 doc;
+    batch 1 carries the originals with doc_id % 3 == 0.  A % 6 == 0
+    fingerprint is therefore first seen in batch 0 via its LARGE-id
+    copy and its small-id original arriving in batch 1 must be
+    suppressed (first-seen-wins beats global min — the r4-verdict
+    item #8 semantics, now visible in the driver artifact), while
+    % 3 == 0, % 6 != 0 fingerprints are first seen in batch 1 — so
+    the output records BOTH micro-batches.  ORACLED because batch
+    assignment is a pure function of doc_id: the DuckDB twin keeps
+    min(doc_id) within each fingerprint's EARLIEST batch.  Restart
+    behavior is pinned in tests/test_streaming.py.
     """
+    import os
     import tempfile
+    import pyarrow as pa
+    import pyarrow.parquet as papq
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     from gaia_spark.streaming import streaming_exact_dedup
 
-    # documents.parquet is a single file; the file stream source
-    # needs a directory basePath, so stream the parent dir filtered
-    # to that one file
-    src = (spark.readStream.schema(docs.schema)
-           .option("pathGlobFilter", "documents.parquet")
-           .parquet(sf_dir))
-    out = streaming_exact_dedup(src)
+    srcdir = tempfile.mkdtemp(prefix="gaia_stream_dedup_src_")
+    pdf = docs.toPandas()  # test-fixture scaffolding, not the operator
+    copies = pdf[pdf.doc_id % 6 == 0].assign(
+        doc_id=lambda d: d.doc_id + 1_000_000)
+    import pandas as _pd
+    parts = [_pd.concat([pdf[pdf.doc_id % 3 != 0], copies],
+                        ignore_index=True),
+             pdf[pdf.doc_id % 3 == 0]]
+    now = os.path.getmtime(srcdir)
+    for b, part in enumerate(parts):
+        path = os.path.join(srcdir, f"batch{b}.parquet")
+        papq.write_table(
+            pa.Table.from_pandas(
+                part.assign(part=b).astype({"part": "int64"}),
+                preserve_index=False),
+            path)
+        os.utime(path, (now + 10 * b, now + 10 * b))
+
+    src = (spark.readStream
+           .schema("doc_id long, text string, part long")
+           .option("maxFilesPerTrigger", 1)
+           .parquet(srcdir))
+    out = streaming_exact_dedup(src, tag_col="part")
     ckpt = tempfile.mkdtemp(prefix="gaia_stream_dedup_")
     q = (out.writeStream.format("memory")
          .queryName("streaming_dedup_out")
@@ -1678,7 +1706,9 @@ def streaming_dedup(spark, sf_dir):
          .outputMode("append")
          .start())
     q.awaitTermination()
-    return spark.table("streaming_dedup_out")
+    return (spark.table("streaming_dedup_out")
+            .select("fingerprint", "doc_id",
+                    F.col("part").alias("batch_id")))
 
 
 def streaming_windows(spark, sf_dir):
@@ -4022,9 +4052,27 @@ GROUP BY 1, 2, 3
     # deterministic batch aggregate (same trick as streaming_windows).
     from gaia_spark.functions.text_analysis import sql_fingerprint
     sql["streaming_dedup"] = f"""
-        SELECT {sql_fingerprint('text')} AS fingerprint,
-               min(doc_id) AS doc_id
-        FROM documents GROUP BY 1
+        WITH rows AS (
+          SELECT doc_id, text,
+                 CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END::BIGINT
+                   AS batch_id
+          FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text, 0::BIGINT
+          FROM documents WHERE doc_id % 6 = 0
+        ), fp AS (
+          SELECT {sql_fingerprint('text')} AS fingerprint, doc_id,
+                 batch_id
+          FROM rows
+        ), fb AS (
+          SELECT fingerprint, min(batch_id) AS batch_id
+          FROM fp GROUP BY fingerprint
+        )
+        SELECT fp.fingerprint, min(fp.doc_id) AS doc_id,
+               fb.batch_id AS batch_id
+        FROM fp JOIN fb ON fp.fingerprint = fb.fingerprint
+                       AND fp.batch_id = fb.batch_id
+        GROUP BY fp.fingerprint, fb.batch_id
     """
     sql["kg_event_coref"] = """
         WITH RECURSIVE inst AS (

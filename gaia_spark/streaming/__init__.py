@@ -54,6 +54,7 @@ def streaming_exact_dedup(
     stream: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tag_col: str | None = None,
 ) -> DataFrame:
     """First-seen-wins streaming exact dedup.
 
@@ -65,14 +66,24 @@ def streaming_exact_dedup(
     wins.  At scale the shuffle key is the 32-byte fingerprint —
     uniform, no skew handling needed.
 
-    → append-mode stream of (fingerprint, doc_id) keeper rows.
+    → append-mode stream of (fingerprint, doc_id) keeper rows.  With
+    ``tag_col`` set, the winning row's tag value (bigint) passes
+    through as a third output column — feed it a per-file/batch
+    marker and the output records WHICH micro-batch first saw each
+    fingerprint, making cross-batch first-seen-wins observable in
+    the sink itself (r4-verdict item #8).
     """
     from gaia_spark.functions.text_analysis import fingerprint_col
 
-    fp = stream.select(
+    cols = [
         fingerprint_col(F.col(text_col)).alias("fingerprint"),
         F.col(id_col).alias("doc_id"),
-    )
+    ]
+    if tag_col is not None:
+        cols.append(F.col(tag_col).cast("bigint").alias("tag"))
+    fp = stream.select(*cols)
+    out_schema = "fingerprint string, doc_id long" + (
+        f", {tag_col} long" if tag_col is not None else "")
 
     def emit_first(
         key: tuple,
@@ -82,18 +93,26 @@ def streaming_exact_dedup(
         if state.exists:
             return
         best = None
+        best_tag = None
         for pdf in pdfs:
             if len(pdf):
-                m = int(pdf["doc_id"].min())
-                best = m if best is None else min(best, m)
+                i = int(pdf["doc_id"].idxmin())
+                m = int(pdf["doc_id"].loc[i])
+                if best is None or m < best:
+                    best = m
+                    if "tag" in pdf.columns:
+                        best_tag = int(pdf["tag"].loc[i])
         if best is None:
             return
         state.update((True,))
-        yield pd.DataFrame({"fingerprint": [key[0]], "doc_id": [best]})
+        row = {"fingerprint": [key[0]], "doc_id": [best]}
+        if tag_col is not None:
+            row[tag_col] = [best_tag]
+        yield pd.DataFrame(row)
 
     return fp.groupBy("fingerprint").applyInPandasWithState(
         emit_first,
-        outputStructType="fingerprint string, doc_id long",
+        outputStructType=out_schema,
         stateStructType="seen boolean",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,

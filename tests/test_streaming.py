@@ -239,3 +239,39 @@ def test_enrich_with_dim_broadcasts_the_dimension(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_streaming_exact_dedup_tag_passthrough(spark, tmp_path):
+    """tag_col variant: the keeper row carries the winning row's tag
+    (the per-file batch marker), and a smaller id arriving with a
+    LATER tag stays suppressed — the driver-artifact evidence shape
+    (r4-verdict item #8)."""
+    import time
+
+    from gaia_spark.streaming import streaming_exact_dedup
+
+    src = str(tmp_path / "docs_tag_in")
+    os.makedirs(src)
+    schema = "doc_id long, text string, part long"
+    spark.createDataFrame(
+        [(50, "same text", 0), (60, "other", 0)],
+        schema).coalesce(1).write.parquet(src + "/b1")
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [(1, "Same  Text", 1), (70, "third", 1)],
+        schema).coalesce(1).write.parquet(src + "/b2")
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1")
+              .option("recursiveFileLookup", "true").parquet(src))
+    q = (streaming_exact_dedup(stream, tag_col="part").writeStream
+         .format("memory").queryName("dedup_tag_out")
+         .option("checkpointLocation", str(tmp_path / "ckpt_tag"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    rows = {(r.doc_id, r.part) for r in spark.sql(
+        "SELECT doc_id, part FROM dedup_tag_out").collect()}
+    # "same text" keeper = 50 from batch 0 (1@batch1 suppressed
+    # despite being smaller); uniques keep their own batch tag
+    assert rows == {(50, 0), (60, 0), (70, 1)}
