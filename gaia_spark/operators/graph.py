@@ -1801,14 +1801,19 @@ def luby_mis(edges: DataFrame, rounds: int = 16,
 
     Driver-action discipline (r4 verdict, "What's wrong" #3): the
     whole round state — picked rows (mis_round ≥ 0) plus the still-
-    active frontier (mis_round = -1) — lives in ONE DataFrame
-    checkpointed once per round, so a round costs a single job
-    launch; the convergence probe runs only every ``probe_every``
-    rounds (a scan of the tiny checkpointed state).  A non-empty
-    active set always yields ≥ 1 winner (the global priority
-    minimum), so skipped probes never mask progress — post-
-    convergence rounds before the next probe are no-op jobs over an
-    empty frontier.
+    active frontier (mis_round = -1) — lives in ONE DataFrame, and a
+    round launches exactly TWO jobs (winners checkpoint — reused by
+    the state union, the neighbor kill and the survivor anti-join
+    without recomputing the priority aggregate — then the state
+    checkpoint); the convergence probe runs only every
+    ``probe_every`` rounds (a scan of the tiny checkpointed state),
+    and each probe round also RE-MATERIALIZES the edge set
+    restricted to still-active endpoints — edges touching dead
+    nodes can never matter again, so later rounds scan a shrinking
+    graph instead of the full |E| every time.  A non-empty active
+    set always yields ≥ 1 winner (the global priority minimum), so
+    skipped probes never mask progress — post-convergence rounds
+    before the next probe are no-op jobs over an empty frontier.
     """
     und = _undirected(edges)
     sym = (und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
@@ -1834,6 +1839,7 @@ def luby_mis(edges: DataFrame, rounds: int = 16,
             .filter(F.col("nbr_min").isNull()
                     | (_mis_prio("node") < F.col("nbr_min")))
             .select("node")
+            .localCheckpoint()
         )
         dead_nbr = (
             act_e.join(winners.withColumnRenamed("node", "src"),
@@ -1850,10 +1856,20 @@ def luby_mis(edges: DataFrame, rounds: int = 16,
                 "mis_round", F.lit(-1).cast("int")))
             .localCheckpoint()
         )
-        if ((i + 1) % probe_every == 0 or i + 1 == rounds) and \
-                state.filter(F.col("mis_round") == -1).isEmpty():
-            converged = True
-            break
+        if (i + 1) % probe_every == 0 or i + 1 == rounds:
+            if state.filter(F.col("mis_round") == -1).isEmpty():
+                converged = True
+                break
+            # shrink the working graph to still-active endpoints
+            nxt = state.filter(F.col("mis_round") == -1) \
+                       .select("node")
+            sym = (
+                sym.join(nxt.withColumnRenamed("node", "src"),
+                         "src", "left_semi")
+                .join(nxt.withColumnRenamed("node", "dst"),
+                      "dst", "left_semi")
+                .localCheckpoint()
+            )
     if not converged and \
             not state.filter(F.col("mis_round") == -1).isEmpty():
         raise RuntimeError(
