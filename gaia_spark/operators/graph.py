@@ -1770,7 +1770,7 @@ def _sql_mis_prio(node: str) -> str:
 
 
 def luby_mis(edges: DataFrame, rounds: int = 16,
-             probe_every: int = 4) -> DataFrame:
+             probe_every: int = 2) -> DataFrame:
     """Deterministic Luby-style maximal independent set →
     ``(node, mis_round)`` for every MIS member.
 
